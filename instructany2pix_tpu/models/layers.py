@@ -1,0 +1,163 @@
+"""Shared pure-functional NN building blocks.
+
+Every model in the framework is a pair of functions over nested-dict
+param pytrees: `init(key, cfg) -> params` and `apply(params, ...)`.
+These primitives keep that style uniform: weights stored so the apply
+path is `x @ w + b` (input-major), convs NHWC/HWIO (TPU-native
+layouts — torch NCHW/OIHW checkpoints are transposed on import by
+core.checkpoint converters).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.groupnorm import group_norm as fused_group_norm
+
+
+# ---------------------------------------------------------------- linear
+
+
+def linear_init(key, in_dim, out_dim, bias=True, scale=None, dtype=jnp.float32):
+    scale = scale if scale is not None else in_dim**-0.5
+    p = {"w": jax.random.normal(key, (in_dim, out_dim), dtype) * scale}
+    if bias:
+        p["b"] = jnp.zeros((out_dim,), dtype)
+    return p
+
+
+def linear(p, x, compute_dtype=None):
+    w = p["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = x @ w
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+# ----------------------------------------------------------------- norms
+
+
+def layer_norm_init(dim, dtype=jnp.float32):
+    return {"g": jnp.ones((dim,), dtype), "b": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(p, x, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rms_norm_init(dim, dtype=jnp.float32):
+    return {"g": jnp.ones((dim,), dtype)}
+
+
+def rms_norm(p, x, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * p["g"].astype(jnp.float32)).astype(x.dtype)
+
+
+def group_norm_init(dim, dtype=jnp.float32):
+    return {"g": jnp.ones((dim,), dtype), "b": jnp.zeros((dim,), dtype)}
+
+
+def group_norm(p, x, num_groups=32, eps=1e-5, silu=False):
+    return fused_group_norm(x, p["g"], p["b"], num_groups, eps, silu)
+
+
+# ------------------------------------------------------------------ conv
+
+
+def conv_init(key, in_ch, out_ch, kernel=3, bias=True, dtype=jnp.float32):
+    scale = (in_ch * kernel * kernel) ** -0.5
+    p = {"w": jax.random.normal(key, (kernel, kernel, in_ch, out_ch), dtype) * scale}
+    if bias:
+        p["b"] = jnp.zeros((out_ch,), dtype)
+    return p
+
+
+def conv2d(p, x, stride=1, padding="SAME"):
+    """NHWC conv; weight HWIO."""
+    w = p["w"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+# ----------------------------------------------------------- embeddings
+
+
+def embedding_init(key, vocab, dim, dtype=jnp.float32):
+    return {"w": jax.random.normal(key, (vocab, dim), dtype) * 0.02}
+
+
+def embedding(p, ids):
+    return jnp.take(p["w"], ids, axis=0)
+
+
+def timestep_embedding(
+    t: jax.Array,
+    dim: int,
+    max_period: float = 10000.0,
+    flip_sin_to_cos: bool = False,
+    downscale_freq_shift: float = 1.0,
+    scale: float = 1.0,
+) -> jax.Array:
+    """Sinusoidal timestep embedding, diffusers get_timestep_embedding
+    semantics (used by the UNet time embed and the prior's noise-level /
+    score embeddings, reference prior/model.py:565-568,613-615)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -jnp.log(max_period)
+        * jnp.arange(half, dtype=jnp.float32)
+        / (half - downscale_freq_shift)
+    )
+    args = t.astype(jnp.float32)[..., None] * freqs
+    args = args * scale
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[..., half:], emb[..., :half]], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, [(0, 0)] * (emb.ndim - 1) + [(0, 1)])
+    return emb
+
+
+# -------------------------------------------------------------- helpers
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def mlp_init(key, dim, hidden, out=None, bias=True, dtype=jnp.float32):
+    out = out or dim
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": linear_init(k1, dim, hidden, bias, dtype=dtype),
+        "fc2": linear_init(k2, hidden, out, bias, dtype=dtype),
+    }

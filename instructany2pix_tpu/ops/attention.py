@@ -1,0 +1,94 @@
+"""Attention dispatch: Pallas flash kernel on TPU, XLA math elsewhere.
+
+One entry point for every attention in the framework (Llama decoder,
+GPT-2 prior, SDXL UNet self/cross, CLIP, ImageBind ViTs). The
+reference swaps per-layer "attention processors" at runtime (reference
+diffusion/ip_adapter/ip_adapter.py:120-148); here conditioning variants
+(IP-Adapter extra K/V) are expressed by the caller concatenating KV
+sources — the kernel itself stays uniform.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .flash_attention import _reference_attention, flash_attention
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=1)
+def _tpu_available() -> bool:
+    return _on_tpu()
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Attention over (B, S, H, D) tensors (sequence-major, like
+    jax.nn.dot_product_attention). Returns (B, S, H, D).
+
+    impl: "auto" | "flash" | "xla".  "auto" uses the Pallas kernel on
+    TPU for long sequences with no arbitrary mask; otherwise XLA.
+    """
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    scale = scale if scale is not None else d**-0.5
+
+    # Grouped-query support: broadcast kv heads.
+    if k.shape[2] != h:
+        rep = h // k.shape[2]
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    use_flash = impl == "flash" or (
+        impl == "auto"
+        and _tpu_available()
+        and mask is None
+        and sq >= 256
+        and sk >= 256
+        and d <= 256
+    )
+    if use_flash:
+        qt = jnp.swapaxes(q, 1, 2)
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
+        o = flash_attention(qt, kt, vt, causal, scale)
+        return jnp.swapaxes(o, 1, 2)
+
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    if mask is None:
+        o = _reference_attention(qt, kt, vt, causal, scale)
+    else:
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", qt.astype(jnp.float32), kt.astype(jnp.float32)
+        ) * scale
+        if mask.ndim == 2:  # (B, Sk) key padding mask
+            mask = mask[:, None, None, :]
+        elif mask.ndim == 3:  # (B, Sq, Sk)
+            mask = mask[:, None, :, :]
+        s = jnp.where(mask, s, -1e30)
+        if causal:
+            cm = jnp.tril(jnp.ones((sq, sk), bool), k=sk - sq)
+            s = jnp.where(cm, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(vt.dtype), vt)
+    return jnp.swapaxes(o, 1, 2).astype(q.dtype)

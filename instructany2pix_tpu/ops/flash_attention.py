@@ -1,0 +1,200 @@
+"""Pallas TPU flash attention (forward) with custom VJP.
+
+This is the TPU-native replacement for the reference's attention stack:
+PyTorch SDPA in the diffusion attention processors (reference
+diffusion/ip_adapter/attention_processor.py:259) and the vendored —
+never-imported — Triton flash kernel (reference
+llm/model/language_model/mpt/flash_attn_triton.py:51,306). Here the
+kernel is live: it backs the Llama-class LLM and the SDXL UNet
+self-attention.
+
+Design:
+  * shapes (B, H, S, D); grid over (B*H, q-blocks); K/V for one (b, h)
+    resident in VMEM; online-softmax inner loop over k-blocks via
+    `jax.lax.fori_loop`.
+  * fp32 accumulation for logits/softmax state, bf16 MXU inputs.
+  * causal masking prunes fully-masked k-blocks through the loop upper
+    bound (no wasted MXU work past the diagonal).
+  * backward pass recomputes attention blockwise (flash-style, O(S)
+    memory) in plain XLA einsums — correct and remat-friendly; a
+    Pallas bwd kernel can swap in behind the same custom_vjp.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+NEG_INF = -1e30
+
+
+def _flash_fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, block_k, causal, scale, seq_q, seq_k
+):
+    # q_ref: (1, block_q, d) for one (b, h, q-block); k/v_ref: (1, seq_k, d)
+    block_q = q_ref.shape[1]
+    d = q_ref.shape[2]
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale
+    # Causality aligns q and k at the END (KV-cache convention): q row i
+    # attends to keys <= i + (seq_k - seq_q).
+    causal_offset = seq_k - seq_q
+
+    num_kb = pl.cdiv(seq_k, block_k)
+    if causal:
+        q_end = (qi + 1) * block_q + causal_offset
+        num_kb = jnp.minimum(num_kb, pl.cdiv(q_end, block_k))
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, block_k)
+        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = col < seq_k
+        if causal:
+            row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            valid = jnp.logical_and(valid, col <= row + causal_offset)
+        s = jnp.where(valid, s, NEG_INF)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_blk.dtype),
+            v_blk,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * alpha + pv
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _flash_fwd(q, k, v, causal, scale, block_q, block_k, interpret=False):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(sk, 128))
+    sq_p, sk_p = _round_up(sq, block_q), _round_up(sk, block_k)
+    qp = _pad_to(q, sq_p, 2).reshape(b * h, sq_p, d)
+    kp = _pad_to(k, sk_p, 2).reshape(b * h, sk_p, d)
+    vp = _pad_to(v, sk_p, 2).reshape(b * h, sk_p, d)
+
+    grid = (b * h, sq_p // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_fwd_kernel,
+            block_k=block_k,
+            causal=causal,
+            scale=scale,
+            seq_q=sq,
+            seq_k=sk,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, sk_p, d), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, sk_p, d), lambda bh, i: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, h, sq_p, d)[:, :, :sq, :]
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _reference_attention(q, k, v, causal, scale):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    s = s * scale
+    if causal:
+        sq, sk = s.shape[-2], s.shape[-1]
+        mask = jnp.tril(jnp.ones((sq, sk), bool), k=sk - sq)
+        s = jnp.where(mask, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+def _bwd_recompute(q, k, v, o, g, causal, scale):
+    """Recompute backward in XLA from saved (q, k, v, o) — O(S^2) logits
+    materialized, fp32 math; XLA fuses the softmax chain. Swap for a
+    Pallas bwd kernel if training memory becomes the constraint."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    if causal:
+        mask = jnp.tril(jnp.ones((sq, sk), bool), k=sk - sq)
+        s = jnp.where(mask, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    delta = jnp.sum(gf * o.astype(jnp.float32), axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def flash_attention(
+    q,
+    k,
+    v,
+    causal: bool = False,
+    scale: float | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+):
+    """Fused attention over (B, H, S, D) tensors.
+
+    `interpret=True` runs the Pallas kernel in interpreter mode (CPU
+    tests exercise the exact kernel logic this way).
+    """
+    scale = scale if scale is not None else q.shape[-1] ** -0.5
+    return _flash_fwd(q, k, v, causal, scale, block_q, block_k, interpret)
+
+
+def _fwd(q, k, v, causal, scale, block_q, block_k, interpret):
+    o = flash_attention(q, k, v, causal, scale, block_q, block_k, interpret)
+    return o, (q, k, v, o)
+
+
+def _bwd(causal, scale, block_q, block_k, interpret, res, g):
+    q, k, v, o = res
+    scale = scale if scale is not None else q.shape[-1] ** -0.5
+    return _bwd_recompute(q, k, v, o, g, causal, scale)
+
+
+flash_attention.defvjp(_fwd, _bwd)

@@ -1,0 +1,130 @@
+"""Kernel-layer tests: flash attention + fused groupnorm vs XLA references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instructany2pix_tpu.ops.attention import dot_product_attention
+from instructany2pix_tpu.ops.flash_attention import (
+    _flash_fwd,
+    _reference_attention,
+    flash_attention,
+)
+from instructany2pix_tpu.ops.groupnorm import _group_norm_xla, group_norm
+
+
+def _qkv(key, b=1, h=2, sq=256, sk=256, d=64, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, sq, d), dtype)
+    k = jax.random.normal(kk, (b, h, sk, d), dtype)
+    v = jax.random.normal(kv, (b, h, sk, d), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("sq,sk", [(256, 256), (128, 512), (200, 200)])
+def test_flash_fwd_matches_reference(rng, causal, sq, sk):
+    q, k, v = _qkv(rng, sq=sq, sk=sk)
+    scale = q.shape[-1] ** -0.5
+    ref = _reference_attention(q, k, v, causal, scale)
+    out = _flash_fwd(q, k, v, causal, scale, 128, 128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_attention_dispatcher_mask_and_gqa(rng):
+    b, sq, sk, h, d = 2, 16, 24, 8, 32
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (b, sq, h, d))
+    k = jax.random.normal(kk, (b, sk, 2, d))  # GQA: 2 kv heads
+    v = jax.random.normal(kv, (b, sk, 2, d))
+    mask = jnp.ones((b, sk), bool).at[:, -5:].set(False)
+    out = dot_product_attention(q, k, v, mask=mask, causal=True, impl="xla")
+    assert out.shape == (b, sq, h, d)
+    # masked keys have no influence
+    v2 = v.at[:, -5:].set(123.0)
+    out2 = dot_product_attention(q, k, v2, mask=mask, causal=True, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+def test_attention_grad_flows(rng):
+    q, k, v = _qkv(rng, b=1, h=2, sq=64, sk=64, d=32)
+
+    def loss(q, k, v):
+        o = dot_product_attention(
+            jnp.swapaxes(q, 1, 2),
+            jnp.swapaxes(k, 1, 2),
+            jnp.swapaxes(v, 1, 2),
+            causal=True,
+            impl="xla",
+        )
+        return jnp.sum(o**2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for gi in g:
+        assert jnp.all(jnp.isfinite(gi))
+        assert float(jnp.abs(gi).max()) > 0
+
+
+def test_flash_custom_vjp_matches_xla_grad(rng):
+    q, k, v = _qkv(rng, b=1, h=2, sq=128, sk=128, d=32)
+    scale = q.shape[-1] ** -0.5
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, True, scale, 128, 128, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, True, scale) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("silu", [False, True])
+def test_group_norm_xla_matches_manual(rng, silu):
+    b, hh, w, c, g = 2, 8, 8, 64, 16
+    x = jax.random.normal(rng, (b, hh, w, c))
+    gamma = jax.random.normal(jax.random.key(1), (c,)) * 0.1 + 1.0
+    beta = jax.random.normal(jax.random.key(2), (c,)) * 0.1
+    out = group_norm(x, gamma, beta, num_groups=g, silu=silu, impl="xla")
+    # manual
+    xr = np.asarray(x, np.float32).reshape(b, hh * w, g, c // g)
+    mean = xr.mean(axis=(1, 3), keepdims=True)
+    var = xr.var(axis=(1, 3), keepdims=True)
+    y = (xr - mean) / np.sqrt(var + 1e-5)
+    y = y.reshape(b, hh, w, c) * np.asarray(gamma) + np.asarray(beta)
+    if silu:
+        y = y / (1 + np.exp(-y)) * 1.0 if False else y * (1 / (1 + np.exp(-y)))
+    np.testing.assert_allclose(np.asarray(out), y, atol=1e-4, rtol=1e-4)
+
+
+def test_group_norm_pallas_interpret_matches_xla(rng):
+    import functools
+
+    import jax.experimental.pallas as pl
+    from instructany2pix_tpu.ops.groupnorm import _gn_silu_kernel
+
+    b, hw, g, cg = 2, 64, 4, 16
+    c = g * cg
+    x = jax.random.normal(rng, (b, hw, c))
+    gamma = jnp.ones((c,)) * 1.3
+    beta = jnp.ones((c,)) * 0.2
+    ref = _group_norm_xla(x, gamma, beta, g, 1e-5, True)
+
+    xr = x.reshape(b, hw, g, cg).swapaxes(1, 2).reshape(b * g, hw, cg)
+    out = pl.pallas_call(
+        functools.partial(_gn_silu_kernel, eps=1e-5, silu=True),
+        grid=(b * g,),
+        in_specs=[
+            pl.BlockSpec((1, hw, cg), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, cg), lambda i: (i % g, 0, 0)),
+            pl.BlockSpec((1, 1, cg), lambda i: (i % g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hw, cg), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(xr.shape, x.dtype),
+        interpret=True,
+    )(xr, gamma.reshape(g, 1, cg), beta.reshape(g, 1, cg))
+    out = out.reshape(b, g, hw, cg).swapaxes(1, 2).reshape(b, hw, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
