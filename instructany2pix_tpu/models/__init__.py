@@ -1,0 +1,3 @@
+from . import clip, layers, unet, vae
+
+__all__ = ["clip", "layers", "unet", "vae"]

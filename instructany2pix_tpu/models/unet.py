@@ -1,0 +1,422 @@
+"""UNet2DCondition — SDXL-class denoiser, NHWC, pure-functional.
+
+Covers the reference's four UNet deployments from one config-driven
+implementation: SDXL base (reference pipeline.py:101), refiner
+(pipeline.py:128), inpainting (pipeline.py:132-139, 9-channel input),
+and the DDIM-inversion passes (ddim/pnp_pipeline.py:251-275) which
+share base weights.
+
+IP-Adapter conditioning is built in rather than monkey-patched: the
+reference swaps per-layer attention processors holding separate
+`to_k_ip/to_v_ip` projections (reference
+diffusion/ip_adapter/attention_processor.py:82-173,282). Here every
+cross-attention optionally carries an `ip` param subtree; image tokens
+come in as a separate `ip_tokens` argument, attention over them is
+computed with the same softmax kernel and added with `ip_scale` —
+numerically identical to the reference's
+`hidden + scale * ip_hidden` (attention_processor.py:161-173), but the
+module graph is static and jit-friendly.
+
+Attention dispatch: self-attention over pixels uses the Pallas flash
+kernel at ≥256 tokens; text/ip cross-attention (≤81 keys) uses the XLA
+path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.prng import KeyChain
+from ..ops.attention import dot_product_attention
+from . import layers as L
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280)
+    down_block_types: Tuple[str, ...] = (
+        "DownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+    )
+    layers_per_block: int = 2
+    transformer_layers_per_block: Tuple[int, ...] = (1, 2, 10)
+    num_attention_heads: Tuple[int, ...] = (5, 10, 20)
+    cross_attention_dim: int = 2048
+    norm_num_groups: int = 32
+    addition_embed_type: Optional[str] = "text_time"
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 2816
+    use_linear_projection: bool = True
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+    with_ip: bool = False  # allocate to_k_ip/to_v_ip in cross-attn
+    ip_num_tokens: int = 4
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+    @staticmethod
+    def sdxl_base(with_ip: bool = False) -> "UNetConfig":
+        return UNetConfig(with_ip=with_ip)
+
+    @staticmethod
+    def sdxl_refiner() -> "UNetConfig":
+        # diffusers stabilityai/stable-diffusion-xl-refiner-1.0 config
+        return UNetConfig(
+            block_out_channels=(384, 768, 1536, 1536),
+            down_block_types=(
+                "DownBlock2D",
+                "CrossAttnDownBlock2D",
+                "CrossAttnDownBlock2D",
+                "DownBlock2D",
+            ),
+            transformer_layers_per_block=(1, 4, 4, 4),
+            num_attention_heads=(6, 12, 24, 24),
+            cross_attention_dim=1280,
+            projection_class_embeddings_input_dim=2560,
+        )
+
+    @staticmethod
+    def sdxl_inpaint(with_ip: bool = False) -> "UNetConfig":
+        # 4 latent + 1 mask + 4 masked-image latent channels
+        return UNetConfig(in_channels=9, with_ip=with_ip)
+
+    @staticmethod
+    def tiny(with_ip: bool = False, in_channels: int = 4) -> "UNetConfig":
+        return UNetConfig(
+            in_channels=in_channels,
+            block_out_channels=(32, 64),
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+            layers_per_block=1,
+            transformer_layers_per_block=(1, 1),
+            num_attention_heads=(2, 4),
+            cross_attention_dim=32,
+            norm_num_groups=8,
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=32 + 6 * 8,
+            with_ip=with_ip,
+        )
+
+    @property
+    def pooled_dim(self) -> int:
+        return self.projection_class_embeddings_input_dim - 6 * self.addition_time_embed_dim
+
+
+# ------------------------------------------------------------------ blocks
+
+
+def _resnet_init(kc, cin, cout, temb_dim):
+    p = {
+        "norm1": L.group_norm_init(cin),
+        "conv1": L.conv_init(kc(), cin, cout, 3),
+        "time_emb": L.linear_init(kc(), temb_dim, cout),
+        "norm2": L.group_norm_init(cout),
+        "conv2": L.conv_init(kc(), cout, cout, 3),
+    }
+    if cin != cout:
+        p["shortcut"] = L.conv_init(kc(), cin, cout, 1)
+    return p
+
+
+def _resnet(p, x, temb, groups):
+    h = L.group_norm(p["norm1"], x, groups, silu=True)
+    h = L.conv2d(p["conv1"], h)
+    t = L.linear(p["time_emb"], L.silu(temb))
+    h = h + t[:, None, None, :].astype(h.dtype)
+    h = L.group_norm(p["norm2"], h, groups, silu=True)
+    h = L.conv2d(p["conv2"], h)
+    if "shortcut" in p:
+        x = L.conv2d(p["shortcut"], x)
+    return x + h
+
+
+def _attn_init(kc, dim, ctx_dim, heads, with_ip=False):
+    p = {
+        "to_q": L.linear_init(kc(), dim, dim, bias=False),
+        "to_k": L.linear_init(kc(), ctx_dim, dim, bias=False),
+        "to_v": L.linear_init(kc(), ctx_dim, dim, bias=False),
+        "to_out": L.linear_init(kc(), dim, dim),
+    }
+    if with_ip:
+        p["to_k_ip"] = L.linear_init(kc(), ctx_dim, dim, bias=False)
+        p["to_v_ip"] = L.linear_init(kc(), ctx_dim, dim, bias=False)
+    return p
+
+
+def _attn(p, x, ctx, heads, ip_tokens=None, ip_scale=1.0):
+    b, s, d = x.shape
+    hd = d // heads
+    q = L.linear(p["to_q"], x).reshape(b, s, heads, hd)
+    k = L.linear(p["to_k"], ctx).reshape(b, -1, heads, hd)
+    v = L.linear(p["to_v"], ctx).reshape(b, -1, heads, hd)
+    o = dot_product_attention(q, k, v).reshape(b, s, d)
+    if ip_tokens is not None and "to_k_ip" in p:
+        k_ip = L.linear(p["to_k_ip"], ip_tokens).reshape(b, -1, heads, hd)
+        v_ip = L.linear(p["to_v_ip"], ip_tokens).reshape(b, -1, heads, hd)
+        o_ip = dot_product_attention(q, k_ip, v_ip).reshape(b, s, d)
+        o = o + ip_scale * o_ip
+    return L.linear(p["to_out"], o)
+
+
+def _tblock_init(kc, dim, ctx_dim, heads, with_ip):
+    return {
+        "norm1": L.layer_norm_init(dim),
+        "attn1": _attn_init(kc, dim, dim, heads),
+        "norm2": L.layer_norm_init(dim),
+        "attn2": _attn_init(kc, dim, ctx_dim, heads, with_ip=with_ip),
+        "norm3": L.layer_norm_init(dim),
+        "ff_in": L.linear_init(kc(), dim, dim * 8),  # geglu: 2*4*dim
+        "ff_out": L.linear_init(kc(), dim * 4, dim),
+    }
+
+
+def _tblock(p, x, ctx, heads, ip_tokens, ip_scale):
+    h = L.layer_norm(p["norm1"], x)
+    x = x + _attn(p["attn1"], h, h, heads)
+    h = L.layer_norm(p["norm2"], x)
+    x = x + _attn(p["attn2"], h, ctx, heads, ip_tokens, ip_scale)
+    h = L.layer_norm(p["norm3"], x)
+    h = L.linear(p["ff_in"], h)
+    a, g = jnp.split(h, 2, axis=-1)
+    x = x + L.linear(p["ff_out"], a * L.gelu(g))
+    return x
+
+
+def _transformer_init(kc, c, ctx_dim, heads, depth, with_ip, use_linear):
+    p = {
+        "norm": L.group_norm_init(c),
+        "proj_in": L.linear_init(kc(), c, c) if use_linear else L.conv_init(kc(), c, c, 1),
+        "proj_out": L.linear_init(kc(), c, c) if use_linear else L.conv_init(kc(), c, c, 1),
+    }
+    for i in range(depth):
+        p[f"block_{i}"] = _tblock_init(kc, c, ctx_dim, heads, with_ip)
+    return p
+
+
+def _transformer(p, x, ctx, heads, depth, groups, use_linear, ip_tokens, ip_scale):
+    b, hh, ww, c = x.shape
+    res = x
+    h = L.group_norm(p["norm"], x, groups)
+    if use_linear:
+        h = h.reshape(b, hh * ww, c)
+        h = L.linear(p["proj_in"], h)
+    else:
+        h = L.conv2d(p["proj_in"], h).reshape(b, hh * ww, c)
+    for i in range(depth):
+        h = _tblock(p[f"block_{i}"], h, ctx, heads, ip_tokens, ip_scale)
+    if use_linear:
+        h = L.linear(p["proj_out"], h).reshape(b, hh, ww, c)
+    else:
+        h = L.conv2d(p["proj_out"], h.reshape(b, hh, ww, c))
+    return h + res
+
+
+# ------------------------------------------------------------------- init
+
+
+def init(key, cfg: UNetConfig = UNetConfig()):
+    kc = KeyChain(key)
+    ch = cfg.block_out_channels
+    ted = cfg.time_embed_dim
+    p = {
+        "conv_in": L.conv_init(kc(), cfg.in_channels, ch[0], 3),
+        "time_embed": {
+            "fc1": L.linear_init(kc(), ch[0], ted),
+            "fc2": L.linear_init(kc(), ted, ted),
+        },
+    }
+    if cfg.addition_embed_type == "text_time":
+        p["add_embed"] = {
+            "fc1": L.linear_init(kc(), cfg.projection_class_embeddings_input_dim, ted),
+            "fc2": L.linear_init(kc(), ted, ted),
+        }
+
+    skip_ch = [ch[0]]
+    cin = ch[0]
+    for i, btype in enumerate(cfg.down_block_types):
+        cout = ch[i]
+        blk = {}
+        for j in range(cfg.layers_per_block):
+            blk[f"res_{j}"] = _resnet_init(kc, cin if j == 0 else cout, cout, ted)
+            if btype == "CrossAttnDownBlock2D":
+                blk[f"attn_{j}"] = _transformer_init(
+                    kc,
+                    cout,
+                    cfg.cross_attention_dim,
+                    cfg.num_attention_heads[i],
+                    cfg.transformer_layers_per_block[i],
+                    cfg.with_ip,
+                    cfg.use_linear_projection,
+                )
+            skip_ch.append(cout)
+        if i < len(ch) - 1:
+            blk["down"] = L.conv_init(kc(), cout, cout, 3)
+            skip_ch.append(cout)
+        p[f"down_{i}"] = blk
+        cin = cout
+
+    mid_heads = cfg.num_attention_heads[-1]
+    mid_depth = cfg.transformer_layers_per_block[-1]
+    # diffusers UNet2DConditionModel always uses UNetMidBlock2DCrossAttn
+    p["mid"] = {
+        "res_0": _resnet_init(kc, cin, cin, ted),
+        "res_1": _resnet_init(kc, cin, cin, ted),
+        "attn": _transformer_init(
+            kc,
+            cin,
+            cfg.cross_attention_dim,
+            mid_heads,
+            mid_depth,
+            cfg.with_ip,
+            cfg.use_linear_projection,
+        ),
+    }
+
+    rev_ch = list(reversed(ch))
+    rev_types = list(reversed(cfg.down_block_types))
+    rev_heads = list(reversed(cfg.num_attention_heads))
+    rev_depth = list(reversed(cfg.transformer_layers_per_block))
+    for i, btype in enumerate(rev_types):
+        cout = rev_ch[i]
+        blk = {}
+        for j in range(cfg.layers_per_block + 1):
+            res_skip = skip_ch.pop()
+            res_in = (cin if j == 0 else cout) + res_skip
+            blk[f"res_{j}"] = _resnet_init(kc, res_in, cout, ted)
+            if btype == "CrossAttnDownBlock2D":
+                blk[f"attn_{j}"] = _transformer_init(
+                    kc,
+                    cout,
+                    cfg.cross_attention_dim,
+                    rev_heads[i],
+                    rev_depth[i],
+                    cfg.with_ip,
+                    cfg.use_linear_projection,
+                )
+        if i < len(ch) - 1:
+            blk["up"] = L.conv_init(kc(), cout, cout, 3)
+        p[f"up_{i}"] = blk
+        cin = cout
+
+    p["norm_out"] = L.group_norm_init(ch[0])
+    p["conv_out"] = L.conv_init(kc(), ch[0], cfg.out_channels, 3)
+    return p
+
+
+# ---------------------------------------------------------------- forward
+
+
+def apply(
+    params,
+    sample: jax.Array,  # (B, H, W, in_channels)
+    timestep: jax.Array,  # (B,) or scalar
+    encoder_hidden_states: jax.Array,  # (B, S, cross_attention_dim)
+    cfg: UNetConfig = UNetConfig(),
+    pooled_text: Optional[jax.Array] = None,  # (B, pooled_dim)
+    time_ids: Optional[jax.Array] = None,  # (B, 6)
+    ip_tokens: Optional[jax.Array] = None,  # (B, n_ip, cross_attention_dim)
+    ip_scale: float = 1.0,
+) -> jax.Array:
+    g = cfg.norm_num_groups
+    b = sample.shape[0]
+    t = jnp.broadcast_to(jnp.asarray(timestep), (b,))
+
+    temb = L.timestep_embedding(
+        t,
+        cfg.block_out_channels[0],
+        flip_sin_to_cos=cfg.flip_sin_to_cos,
+        downscale_freq_shift=cfg.freq_shift,
+    )
+    temb = temb.astype(sample.dtype)
+    temb = L.linear(params["time_embed"]["fc2"], L.silu(L.linear(params["time_embed"]["fc1"], temb)))
+
+    if cfg.addition_embed_type == "text_time":
+        assert pooled_text is not None and time_ids is not None
+        tid = L.timestep_embedding(
+            time_ids.reshape(-1),
+            cfg.addition_time_embed_dim,
+            flip_sin_to_cos=cfg.flip_sin_to_cos,
+            downscale_freq_shift=cfg.freq_shift,
+        ).reshape(b, -1)
+        add = jnp.concatenate([pooled_text, tid.astype(pooled_text.dtype)], axis=-1)
+        add = add.astype(sample.dtype)
+        aemb = L.linear(params["add_embed"]["fc2"], L.silu(L.linear(params["add_embed"]["fc1"], add)))
+        temb = temb + aemb
+
+    ctx = encoder_hidden_states
+    h = L.conv2d(params["conv_in"], sample)
+    skips = [h]
+    for i, btype in enumerate(cfg.down_block_types):
+        blk = params[f"down_{i}"]
+        for j in range(cfg.layers_per_block):
+            h = _resnet(blk[f"res_{j}"], h, temb, g)
+            if btype == "CrossAttnDownBlock2D":
+                h = _transformer(
+                    blk[f"attn_{j}"],
+                    h,
+                    ctx,
+                    cfg.num_attention_heads[i],
+                    cfg.transformer_layers_per_block[i],
+                    g,
+                    cfg.use_linear_projection,
+                    ip_tokens,
+                    ip_scale,
+                )
+            skips.append(h)
+        if "down" in blk:
+            h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            h = L.conv2d(blk["down"], h, stride=2, padding="VALID")
+            skips.append(h)
+
+    mid = params["mid"]
+    h = _resnet(mid["res_0"], h, temb, g)
+    if "attn" in mid:
+        h = _transformer(
+            mid["attn"],
+            h,
+            ctx,
+            cfg.num_attention_heads[-1],
+            cfg.transformer_layers_per_block[-1],
+            g,
+            cfg.use_linear_projection,
+            ip_tokens,
+            ip_scale,
+        )
+    h = _resnet(mid["res_1"], h, temb, g)
+
+    rev_types = list(reversed(cfg.down_block_types))
+    rev_heads = list(reversed(cfg.num_attention_heads))
+    rev_depth = list(reversed(cfg.transformer_layers_per_block))
+    for i, btype in enumerate(rev_types):
+        blk = params[f"up_{i}"]
+        for j in range(cfg.layers_per_block + 1):
+            skip = skips.pop()
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = _resnet(blk[f"res_{j}"], h, temb, g)
+            if btype == "CrossAttnDownBlock2D":
+                h = _transformer(
+                    blk[f"attn_{j}"],
+                    h,
+                    ctx,
+                    rev_heads[i],
+                    rev_depth[i],
+                    g,
+                    cfg.use_linear_projection,
+                    ip_tokens,
+                    ip_scale,
+                )
+        if "up" in blk:
+            bb, hh, ww, c = h.shape
+            h = jax.image.resize(h, (bb, hh * 2, ww * 2, c), "nearest")
+            h = L.conv2d(blk["up"], h)
+
+    h = L.group_norm(params["norm_out"], h, g, silu=True)
+    return L.conv2d(params["conv_out"], h)
