@@ -1,0 +1,245 @@
+"""Llama-class decoder (Vicuna-7B backbone) — pure-functional, KV-cached.
+
+Rebuild of the reference's `InstructAny2PixLMForCausalLM` base
+(HF LlamaForCausalLM, reference llm/model/language_model/
+any2pix_llama.py:177) as an idiomatic JAX decoder:
+
+  * RMSNorm, rotary embeddings, (GQA-capable) attention, SwiGLU MLP.
+  * Full-sequence forward uses the Pallas flash-attention kernel
+    (causal). Decode steps use a preallocated KV cache — the reference
+    generates with `use_cache=False`, recomputing the whole prefix per
+    token (reference pipeline.py:208); here decode is O(T) per token.
+  * `inputs_embeds` entry point so multimodal embedding splicing
+    (`extra_replacement`, any2pix_llama.py:255-296) happens before the
+    stack, exactly like the reference's embed-then-overwrite.
+  * HF state-dict converter incl. resized embeddings for the 9 added
+    special tokens (reference llm/model/make_delta.py:19-28).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.prng import KeyChain
+from ..ops.attention import dot_product_attention
+from . import layers as L
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32009  # 32000 + 9 special gen tokens
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    max_seq_len: int = 2048
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    tie_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @staticmethod
+    def vicuna_7b(vocab_size: int = 32009) -> "LlamaConfig":
+        return LlamaConfig(vocab_size=vocab_size)
+
+    @staticmethod
+    def tiny(vocab_size: int = 128) -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=vocab_size,
+            hidden_size=64,
+            intermediate_size=128,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=4,
+            max_seq_len=128,
+        )
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # (layers, B, max_len, kv_heads, head_dim)
+    v: jax.Array
+    length: jax.Array  # () int32 — tokens currently cached
+
+    @staticmethod
+    def create(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None, dtype=jnp.bfloat16):
+        max_len = max_len or cfg.max_seq_len
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return KVCache(
+            jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32)
+        )
+
+
+def _rope(x, positions, theta):
+    """Rotary embedding, HF convention (half-split rotate)."""
+    b, s, h, d = x.shape
+    half = d // 2
+    freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions.astype(jnp.float32)[..., None] * freqs  # (B,S,half)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out = jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+def init(key, cfg: LlamaConfig = LlamaConfig.tiny()):
+    kc = KeyChain(key)
+    d, hd = cfg.hidden_size, cfg.head_dim
+    p = {"embed_tokens": L.embedding_init(kc(), cfg.vocab_size, d)}
+    for i in range(cfg.num_layers):
+        p[f"layer_{i}"] = {
+            "input_norm": L.rms_norm_init(d),
+            "q": L.linear_init(kc(), d, cfg.num_heads * hd, bias=False),
+            "k": L.linear_init(kc(), d, cfg.num_kv_heads * hd, bias=False),
+            "v": L.linear_init(kc(), d, cfg.num_kv_heads * hd, bias=False),
+            "o": L.linear_init(kc(), cfg.num_heads * hd, d, bias=False),
+            "post_norm": L.rms_norm_init(d),
+            "gate": L.linear_init(kc(), d, cfg.intermediate_size, bias=False),
+            "up": L.linear_init(kc(), d, cfg.intermediate_size, bias=False),
+            "down": L.linear_init(kc(), cfg.intermediate_size, d, bias=False),
+        }
+    p["final_norm"] = L.rms_norm_init(d)
+    if not cfg.tie_embeddings:
+        p["lm_head"] = L.linear_init(kc(), d, cfg.vocab_size, bias=False)
+    return p
+
+
+def embed(params, input_ids):
+    return L.embedding(params["embed_tokens"], input_ids)
+
+
+def _block(p, x, positions, cfg, mask, cache_kv=None, cache_len=None):
+    """One decoder layer. Returns (x, (k_new, v_new)) where k_new/v_new
+    are this call's keys/values (for cache update)."""
+    b, s, d = x.shape
+    hd = cfg.head_dim
+    h = L.rms_norm(p["input_norm"], x, cfg.rms_eps)
+    q = L.linear(p["q"], h).reshape(b, s, cfg.num_heads, hd)
+    k = L.linear(p["k"], h).reshape(b, s, cfg.num_kv_heads, hd)
+    v = L.linear(p["v"], h).reshape(b, s, cfg.num_kv_heads, hd)
+    q = _rope(q, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg.rope_theta)
+
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_len, axis=1)
+        cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_len, axis=1)
+        # explicit absolute-position causal mask: query row i (absolute
+        # position cache_len+i) sees keys 0..cache_len+i; padded tail
+        # slots beyond cache_len+s stay masked. End-aligned `causal=True`
+        # would mis-align against the padded buffer.
+        max_len = ck.shape[1]
+        row = cache_len + jnp.arange(s)[:, None]
+        col = jnp.arange(max_len)[None, :]
+        attn_mask = jnp.broadcast_to((col <= row)[None], (b, s, max_len))
+        o = dot_product_attention(
+            q, ck.astype(q.dtype), cv.astype(q.dtype), mask=attn_mask, impl="xla"
+        )
+        new_kv = (ck, cv)
+    else:
+        o = dot_product_attention(q, k, v, mask=mask, causal=True)
+        new_kv = (k, v)
+    x = x + L.linear(p["o"], o.reshape(b, s, cfg.num_heads * hd))
+    h = L.rms_norm(p["post_norm"], x, cfg.rms_eps)
+    x = x + L.linear(p["down"], L.silu(L.linear(p["gate"], h)) * L.linear(p["up"], h))
+    return x, new_kv
+
+
+def forward(
+    params,
+    cfg: LlamaConfig,
+    input_ids: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    attention_mask: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,
+    cache: Optional[KVCache] = None,
+):
+    """Full or incremental forward.
+
+    Without `cache`: processes the whole sequence (training / prefill
+    without cache). With `cache`: appends this chunk at `cache.length`
+    and returns the updated cache (prefill chunk or single decode step).
+
+    Returns dict: logits (B,S,V), hidden (B,S,D) — final pre-norm
+    hidden states like HF `output_hidden_states[-1]`... note: HF's last
+    entry equals the post-final-norm states; we return `hidden_norm`
+    for that and `hidden` for the raw residual stream.
+    """
+    assert (input_ids is None) != (inputs_embeds is None)
+    x = inputs_embeds if inputs_embeds is not None else embed(params, input_ids)
+    b, s, _ = x.shape
+    if positions is None:
+        start = cache.length if cache is not None else 0
+        positions = jnp.arange(s)[None, :] + start
+        positions = jnp.broadcast_to(positions, (b, s))
+
+    new_k, new_v = [], []
+    for i in range(cfg.num_layers):
+        if cache is not None:
+            x, (ck, cv) = _block(
+                params[f"layer_{i}"],
+                x,
+                positions,
+                cfg,
+                None,
+                cache_kv=(cache.k[i], cache.v[i]),
+                cache_len=cache.length,
+            )
+            new_k.append(ck)
+            new_v.append(cv)
+        else:
+            x, _ = _block(params[f"layer_{i}"], x, positions, cfg, attention_mask)
+    hidden = x
+    hidden_norm = L.rms_norm(params["final_norm"], x, cfg.rms_eps)
+    if cfg.tie_embeddings:
+        logits = hidden_norm @ params["embed_tokens"]["w"].T
+    else:
+        logits = L.linear(params["lm_head"], hidden_norm)
+    out = {"logits": logits, "hidden": hidden, "hidden_norm": hidden_norm}
+    if cache is not None:
+        out["cache"] = KVCache(
+            jnp.stack(new_k), jnp.stack(new_v), cache.length + s
+        )
+    return out
+
+
+# -------------------------------------------------------------- converter
+
+_LLAMA_RULES = [
+    (r"model\.embed_tokens\.weight", r"embed_tokens.w", None),
+    (r"model\.layers\.(\d+)\.input_layernorm\.weight", r"layer_\1.input_norm.g", None),
+    (r"model\.layers\.(\d+)\.self_attn\.q_proj\.weight", r"layer_\1.q.w", "linear"),
+    (r"model\.layers\.(\d+)\.self_attn\.k_proj\.weight", r"layer_\1.k.w", "linear"),
+    (r"model\.layers\.(\d+)\.self_attn\.v_proj\.weight", r"layer_\1.v.w", "linear"),
+    (r"model\.layers\.(\d+)\.self_attn\.o_proj\.weight", r"layer_\1.o.w", "linear"),
+    (r"model\.layers\.(\d+)\.post_attention_layernorm\.weight", r"layer_\1.post_norm.g", None),
+    (r"model\.layers\.(\d+)\.mlp\.gate_proj\.weight", r"layer_\1.gate.w", "linear"),
+    (r"model\.layers\.(\d+)\.mlp\.up_proj\.weight", r"layer_\1.up.w", "linear"),
+    (r"model\.layers\.(\d+)\.mlp\.down_proj\.weight", r"layer_\1.down.w", "linear"),
+    (r"model\.norm\.weight", r"final_norm.g", None),
+    (r"lm_head\.weight", r"lm_head.w", "linear"),
+    (r"model\.rotary_emb\..*", r"__drop__", None),
+]
+
+
+def convert_from_hf(sd: dict) -> dict:
+    from ..core import checkpoint as ckpt
+
+    rules = [
+        (pat, tgt, ckpt.linear_w if tr == "linear" else None)
+        for pat, tgt, tr in _LLAMA_RULES
+    ]
+    tree = ckpt.convert_state_dict(sd, rules, strict=False)
+    tree.pop("__drop__", None)
+    return tree
