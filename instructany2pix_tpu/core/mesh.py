@@ -57,7 +57,7 @@ _CURRENT_MESH: list = []
 def use_mesh(mesh: Mesh):
     _CURRENT_MESH.append(mesh)
     try:
-        with jax.sharding.use_mesh(mesh):
+        with jax.set_mesh(mesh):
             yield mesh
     finally:
         _CURRENT_MESH.pop()

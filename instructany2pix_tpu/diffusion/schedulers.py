@@ -145,11 +145,22 @@ class Schedule:
 
     # --------------------------------------------------------------- DDPM
 
-    def ddpm_step(self, model_out, t, sample, key, variance_type="fixed_small"):
+    def ddpm_timesteps(self, num_inference_steps: int) -> jnp.ndarray:
+        """diffusers DDPMScheduler.set_timesteps: descending
+        (arange(N) * (train//N)) — note no +1 offset (unlike DDIM)."""
+        ratio = self.cfg.num_train_timesteps // num_inference_steps
+        ts = (np.arange(num_inference_steps) * ratio)[::-1]
+        return jnp.asarray(ts.copy(), jnp.int32)
+
+    def ddpm_step(
+        self, model_out, t, sample, key, variance_type="fixed_small", t_prev=None
+    ):
         """Ancestral DDPM update (the prior's scheduler step, reference
-        prior/model.py:641-655)."""
+        prior/model.py:641-655). `t_prev` defaults to t-1 (training
+        schedule); inference passes t - train//num_inference_steps like
+        diffusers' previous_timestep."""
         a_bar_t = self.alpha_bar(t)
-        a_bar_prev = self.alpha_bar(t - 1)
+        a_bar_prev = self.alpha_bar(t - 1 if t_prev is None else t_prev)
         beta_t = 1 - a_bar_t / a_bar_prev
         alpha_t = 1 - beta_t
         shape = (-1,) + (1,) * (sample.ndim - 1)

@@ -1,0 +1,265 @@
+"""Any2Pix multimodal LM: Llama backbone + codec projectors/predictors.
+
+Rebuild of `InstructAny2PixLMForCausalLM` + meta-arch (reference
+llm/model/language_model/any2pix_llama.py:177-446,
+llm/model/any2pix_arch.py:30-299) with TPU-friendly dense masking in
+place of the reference's ragged gather/scatter:
+
+  * `vae_projector_image/audio` — mlp2x_gelu codec→hidden projectors
+    (reference multimodal_projector/builder.py:33-52).
+  * `vae_predictor_image/audio` — hidden→codec predictors
+    (builder.py:54-74).
+  * `splice_input_embeds` — inference-time `extra_replacement`: the
+    j-th `<video>` token takes the projected j-th conditioning row
+    (any2pix_llama.py:278-296), as a dense gather instead of
+    torch.where scatter.
+  * `train_forward` — full loss stack (any2pix_llama.py:364-427):
+    LM cross-entropy + continuous-codec MSE×dim head losses at
+    gen-token positions (hidden state at p-1 predicts target at p) +
+    L1 `loss_extra` at BASE/GEN `<video>` positions; per-loss dict in
+    `individual_losses`.
+
+The shipped codec path is the vq-npz passthrough (precomputed 1024-d
+ImageBind/CLIP embeddings — reference vae/vq-npz.yaml), i.e. the
+continuous branch; discrete-VQ CE is covered by the codecs package.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.prng import KeyChain
+from ..models import layers as L
+from ..models import llama
+from .constants import IGNORE_INDEX, REPLACEMENT_TYPE
+
+
+@dataclasses.dataclass(frozen=True)
+class Any2PixLMConfig:
+    llama: llama.LlamaConfig = llama.LlamaConfig.vicuna_7b()
+    image_codec_dim: int = 1024  # ImageBind/CLIP embedding dim
+    audio_codec_dim: int = 768
+    video_token_id: int = 32004  # <video> — 5th of 9 added tokens
+    im_gen_token_id: int = 32000
+    audio_gen_token_id: int = 32001
+    audio_token_id: int = 32005
+    base_token_id: int = 32007
+
+    @staticmethod
+    def tiny(token_ids: Optional[Dict[str, int]] = None) -> "Any2PixLMConfig":
+        ids = token_ids or {}
+        return Any2PixLMConfig(
+            llama=llama.LlamaConfig.tiny(vocab_size=280),
+            image_codec_dim=16,
+            audio_codec_dim=8,
+            video_token_id=ids.get("<video>", 263),
+            im_gen_token_id=ids.get("<im_gen>", 259),
+            audio_gen_token_id=ids.get("<audio_gen>", 260),
+            audio_token_id=ids.get("<audio>", 264),
+            base_token_id=ids.get("<base>", 266),
+        )
+
+
+def _projector_init(kc, in_dim, hidden):
+    # mlp2x_gelu: Linear(in,h) → GELU → Linear(h,h)
+    return {
+        "fc1": L.linear_init(kc(), in_dim, hidden),
+        "fc2": L.linear_init(kc(), hidden, hidden),
+    }
+
+
+def _projector(p, x):
+    return L.linear(p["fc2"], L.gelu(L.linear(p["fc1"], x)))
+
+
+def _predictor_init(kc, hidden, out_dim):
+    # mlp2x_gelu predictor: Linear(h,h) → GELU → Linear(h,out)
+    return {
+        "fc1": L.linear_init(kc(), hidden, hidden),
+        "fc2": L.linear_init(kc(), hidden, out_dim),
+    }
+
+
+def _predictor(p, x):
+    return L.linear(p["fc2"], L.gelu(L.linear(p["fc1"], x)))
+
+
+def init(key, cfg: Any2PixLMConfig):
+    kc = KeyChain(key)
+    d = cfg.llama.hidden_size
+    return {
+        "llama": llama.init(kc(), cfg.llama),
+        "vae_projector_image": _projector_init(kc, cfg.image_codec_dim, d),
+        "vae_projector_audio": _projector_init(kc, cfg.audio_codec_dim, d),
+        "vae_predictor_image": _predictor_init(kc, d, cfg.image_codec_dim),
+        "vae_predictor_audio": _predictor_init(kc, d, cfg.audio_codec_dim),
+    }
+
+
+def predict_image_embedding(params, hidden):
+    """vae_predictor_image readout (reference pipeline.py:236)."""
+    return _predictor(params["vae_predictor_image"], hidden)
+
+
+def predict_audio_embedding(params, hidden):
+    return _predictor(params["vae_predictor_audio"], hidden)
+
+
+def splice_input_embeds(
+    params,
+    cfg: Any2PixLMConfig,
+    input_ids: jax.Array,  # (B, S)
+    replacement_data: Optional[jax.Array] = None,  # (R, image_codec_dim)
+    replacement_types: Optional[jax.Array] = None,  # (R,) REPLACEMENT_TYPE
+) -> jax.Array:
+    """Token embeddings with `<video>` slots overwritten by projected
+    conditioning embeddings (INPUT-type rows only)."""
+    embeds = llama.embed(params["llama"], input_ids)
+    if replacement_data is None or replacement_data.shape[0] == 0:
+        return embeds
+    proj = _projector(params["vae_projector_image"], replacement_data)  # (R, D)
+    r = proj.shape[0]
+    is_vid = input_ids == cfg.video_token_id
+    order = jnp.cumsum(is_vid, axis=1) - 1  # j-th <video> → row j
+    safe = jnp.clip(order, 0, r - 1)
+    rows = proj[safe]  # (B, S, D)
+    types = (
+        replacement_types
+        if replacement_types is not None
+        else jnp.full((r,), REPLACEMENT_TYPE.INPUT, jnp.int32)
+    )
+    is_input_type = types[safe] == REPLACEMENT_TYPE.INPUT
+    use = is_vid & (order < r) & is_input_type
+    return jnp.where(use[..., None], rows.astype(embeds.dtype), embeds)
+
+
+def splice_audio_inputs(
+    params,
+    cfg: Any2PixLMConfig,
+    input_ids: jax.Array,
+    embeds: jax.Array,
+    audio_frames: Optional[jax.Array] = None,  # (Na, 8, audio_codec_dim)
+) -> jax.Array:
+    """`extra_inputs` audio path: consecutive `<audio>` tokens take
+    projected codec frames, 8 per clip (reference
+    any2pix_llama.py:311-322)."""
+    if audio_frames is None or audio_frames.shape[0] == 0:
+        return embeds
+    na, fr, _ = audio_frames.shape
+    proj = _projector(params["vae_projector_audio"], audio_frames)  # (Na,8,D)
+    flat = proj.reshape(na * fr, -1)
+    is_aud = input_ids == cfg.audio_token_id
+    order = jnp.cumsum(is_aud, axis=1) - 1
+    safe = jnp.clip(order, 0, na * fr - 1)
+    rows = flat[safe]
+    use = is_aud & (order < na * fr)
+    return jnp.where(use[..., None], rows.astype(embeds.dtype), embeds)
+
+
+def train_forward(
+    params,
+    cfg: Any2PixLMConfig,
+    batch: Dict[str, jax.Array],
+):
+    """Training loss. Dense batch layout (built by train.data collator):
+
+      input_ids, labels, attention_mask: (B, S)
+      replacement_data: (B, S, image_codec_dim) — per-position codec
+        rows for `<video>` positions (zeros elsewhere)
+      replacement_type: (B, S) int — REPLACEMENT_TYPE per position
+        (-1 = none)
+      gen_target_image: (B, S, image_codec_dim) — continuous target at
+        `<im_gen>` positions; gen_mask_image: (B, S) bool
+      gen_target_audio / gen_mask_audio: audio analog
+    Returns (loss, individual_losses dict).
+    """
+    ids = batch["input_ids"]
+    labels = batch["labels"]
+    b, s = ids.shape
+
+    embeds = llama.embed(params["llama"], ids)
+    # INPUT-type <video> splice
+    rep_type = batch.get("replacement_type")
+    if rep_type is not None:
+        is_input = (rep_type == REPLACEMENT_TYPE.INPUT)[..., None]
+        proj = _projector(params["vae_projector_image"], batch["replacement_data"])
+        embeds = jnp.where(is_input, proj.astype(embeds.dtype), embeds)
+    # gen-token splice: <im_gen>/<audio_gen> positions take projected targets
+    if "gen_target_image" in batch:
+        proj = _projector(params["vae_projector_image"], batch["gen_target_image"])
+        embeds = jnp.where(
+            batch["gen_mask_image"][..., None], proj.astype(embeds.dtype), embeds
+        )
+    if "gen_target_audio" in batch:
+        proj = _projector(params["vae_projector_audio"], batch["gen_target_audio"])
+        embeds = jnp.where(
+            batch["gen_mask_audio"][..., None], proj.astype(embeds.dtype), embeds
+        )
+
+    out = llama.forward(
+        params["llama"],
+        cfg.llama,
+        inputs_embeds=embeds,
+        attention_mask=batch.get("attention_mask"),
+    )
+    logits, hidden = out["logits"], out["hidden_norm"]
+    individual = {}
+
+    # LM cross-entropy (shifted)
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    loss_lang = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+    individual["loss_lang"] = loss_lang
+    loss = loss_lang
+
+    # continuous codec heads: hidden[p-1] predicts target[p], MSE × dim
+    def head_loss(pred_fn, target, mask):
+        pred = pred_fn(hidden[:, :-1])  # (B, S-1, D)
+        tgt = target[:, 1:]
+        m = mask[:, 1:].astype(jnp.float32)[..., None]
+        d = tgt.shape[-1]
+        se = jnp.square(pred.astype(jnp.float32) - tgt.astype(jnp.float32)) * m
+        denom = jnp.maximum(jnp.sum(m) * d, 1.0)
+        return jnp.sum(se) / denom * d  # MSELoss mean × dim
+
+    if "gen_target_image" in batch:
+        li = head_loss(
+            lambda h: _predictor(params["vae_predictor_image"], h),
+            batch["gen_target_image"],
+            batch["gen_mask_image"],
+        )
+        individual["loss_img"] = li
+        loss = loss + li
+    if "gen_target_audio" in batch:
+        la = head_loss(
+            lambda h: _predictor(params["vae_predictor_audio"], h),
+            batch["gen_target_audio"],
+            batch["gen_mask_audio"],
+        )
+        individual["loss_aud"] = la
+        loss = loss + la
+
+    # loss_extra: L1 at BASE/GEN <video> positions
+    if rep_type is not None:
+        extra_mask = (rep_type == REPLACEMENT_TYPE.BASE) | (
+            rep_type == REPLACEMENT_TYPE.GEN
+        )
+        pred = _predictor(params["vae_predictor_image"], hidden[:, :-1])
+        m = extra_mask[:, 1:].astype(jnp.float32)[..., None]
+        ae = jnp.abs(
+            pred.astype(jnp.float32) - batch["replacement_data"][:, 1:].astype(jnp.float32)
+        ) * m
+        denom = jnp.maximum(jnp.sum(m) * pred.shape[-1], 1.0)
+        loss_extra = jnp.sum(ae) / denom
+        individual["loss_extra"] = loss_extra
+        loss = loss + loss_extra
+
+    return loss, individual

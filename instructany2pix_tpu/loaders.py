@@ -1,0 +1,146 @@
+"""Full-scale checkpoint loading for the pipeline.
+
+Maps the reference's on-disk checkpoint layout (reference
+pipeline.py:96-147: `ckpts/<llm_folder>` HF dir, `ckpts/prior/model.bin`,
+SDXL diffusers dirs, `ckpts/sdxl/ip_adapter_global_local_2_view.bin`,
+`ckpts/imagebind_huge.pth`) into this framework's param pytrees via the
+per-model converters.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+from .core import checkpoint as ckpt_lib
+from .diffusion import ip_adapter as ipa
+from .models import clip as clip_lib
+from .models import gpt2 as gpt2_lib
+from .models import llama as llama_lib
+
+
+def _load_sharded_hf(path: str) -> Dict[str, np.ndarray]:
+    """Load all .safetensors/.bin shards in an HF checkpoint dir."""
+    sd: Dict[str, np.ndarray] = {}
+    files = sorted(
+        glob.glob(os.path.join(path, "*.safetensors"))
+        or glob.glob(os.path.join(path, "pytorch_model*.bin"))
+    )
+    if not files:
+        raise FileNotFoundError(f"no weight shards under {path}")
+    for f in files:
+        sd.update(ckpt_lib.load_torch_state_dict(f))
+    return sd
+
+
+def load_llm(path: str) -> Dict[str, Any]:
+    sd = _load_sharded_hf(path)
+    llm_sd = {k: v for k, v in sd.items() if not k.startswith(("model.vae_", "vae_"))}
+    params = {"llama": llama_lib.convert_from_hf(llm_sd)}
+    # projector/predictor heads (reference any2pix_arch.py:30-46) are
+    # stored under the meta-model: model.vae_projector_image.0.weight ...
+    for name in (
+        "vae_projector_image",
+        "vae_projector_audio",
+        "vae_predictor_image",
+        "vae_predictor_audio",
+    ):
+        pref = f"model.{name}"
+        if f"{pref}.0.weight" in sd:
+            params[name] = {
+                "fc1": {
+                    "w": ckpt_lib.linear_w(sd[f"{pref}.0.weight"]),
+                    "b": sd[f"{pref}.0.bias"],
+                },
+                "fc2": {
+                    "w": ckpt_lib.linear_w(sd[f"{pref}.2.weight"]),
+                    "b": sd[f"{pref}.2.bias"],
+                },
+            }
+    return params
+
+
+def load_prior(path: str) -> Dict[str, Any]:
+    """ckpts/prior/model.bin → prior param tree (reference
+    pipeline.py:117-120)."""
+    sd = ckpt_lib.load_torch_state_dict(path)
+    gpt2_sd = {
+        k[len("model.") :]: v for k, v in sd.items() if k.startswith("model.")
+    }
+    params: Dict[str, Any] = {
+        "gpt2": gpt2_lib.convert_from_hf(gpt2_sd),
+        "sos": {"w": sd["start_of_sequence_tokens.weight"]},
+        "eos": {"w": sd["end_of_sequence_tokens.weight"]},
+        "modality_embedding": {"w": sd["modality_embedding.weight"]},
+    }
+    # per-key input projections: input_sequence_embed_linear.<i>.weight
+    key_order = ["src_type", "imagebind", "crossattn_clip", "score", "noisy_inputs"]
+    for i, name in enumerate(key_order):
+        wk = f"input_sequence_embed_linear.{i}.weight"
+        if wk in sd:
+            params[f"proj_{name}"] = {
+                "w": ckpt_lib.linear_w(sd[wk]),
+                "b": sd[f"input_sequence_embed_linear.{i}.bias"],
+            }
+    if "output_proj.weight" in sd:
+        params["output_proj"] = {
+            "w": ckpt_lib.linear_w(sd["output_proj.weight"]),
+            "b": sd.get("output_proj.bias"),
+        }
+    return params
+
+
+def load_ip_adapter(path: str, unet_attn_paths) -> Dict[str, Any]:
+    sd = ckpt_lib.load_torch_state_dict(path)
+    image_proj_sd = {
+        k[len("image_proj.") :]: v for k, v in sd.items() if k.startswith("image_proj.")
+    }
+    ip_sd = {
+        k[len("ip_adapter.") :]: v for k, v in sd.items() if k.startswith("ip_adapter.")
+    }
+    return {
+        "image_proj": ipa.convert_image_proj_from_torch(image_proj_sd),
+        "ip_attn": ipa.convert_ip_attn_from_torch(ip_sd, unet_attn_paths),
+    }
+
+
+def load_pipeline_params(cfg, ckpt: str, llm_folder: str) -> Dict[str, Any]:
+    """Assemble the full pipeline param dict from a reference-layout
+    checkpoint root. Components whose converters are not yet wired
+    (SDXL UNet/VAE diffusers state dicts, ImageBind) raise with a
+    pointer to the converter module."""
+    from .models import unet_convert
+
+    params: Dict[str, Any] = {}
+    params["llm"] = load_llm(os.path.join(ckpt, llm_folder))
+    params["prior"] = load_prior(os.path.join(ckpt, "prior", "model.bin"))
+
+    sdxl_dir = os.path.join(ckpt, "sdxl-base")
+    params["unet"] = unet_convert.load_unet(os.path.join(sdxl_dir, "unet"), cfg.unet)
+    params["vae"] = unet_convert.load_vae(os.path.join(sdxl_dir, "vae"), cfg.vae)
+    params["text1"] = clip_lib.convert_text_from_hf(
+        _load_sharded_hf(os.path.join(sdxl_dir, "text_encoder"))
+    )
+    params["text2"] = clip_lib.convert_text_from_hf(
+        _load_sharded_hf(os.path.join(sdxl_dir, "text_encoder_2"))
+    )
+    params["refiner"] = unet_convert.load_unet(
+        os.path.join(ckpt, "sdxl-refiner", "unet"), cfg.refiner
+    )
+    params["inpaint_unet"] = params["unet"]  # shares base components
+    params["prior_text"] = clip_lib.convert_text_from_hf(
+        _load_sharded_hf(os.path.join(ckpt, "clip-vit-h"))
+    )
+    ip = load_ip_adapter(
+        os.path.join(ckpt, "sdxl", "ip_adapter_global_local_2_view.bin"),
+        unet_convert.cross_attn_paths(cfg.unet),
+    )
+    params["image_proj"] = ip["image_proj"]
+    params["unet"] = unet_convert.merge_ip_weights(params["unet"], ip["ip_attn"])
+    raise NotImplementedError(
+        "ImageBind converter pending (models/imagebind.convert_from_imagebind); "
+        "all other components loaded"
+    )

@@ -1,0 +1,191 @@
+"""ImageBind-class audio/vision encoders → shared 1024-d embedding space.
+
+The reference loads ImageBind-huge and calls it on CPU for every
+conditioning input (reference pipeline.py:118,159-164:
+`load_and_transform_{audio,vision}_data` → `model_imb(inputs)`). This
+module provides inference-parity encoder graphs in JAX:
+
+  * vision: ViT-H/14-class trunk (pre-LN transformer, cls token) +
+    modality head (LayerNorm → Linear to 1024, no bias).
+  * audio: log-mel spectrogram (128 bins, 16 kHz, 2 s clips) patchified
+    by a 16×16 conv ViT-B trunk + head; multi-clip embeddings average.
+
+Shapes/configs mirror the public ImageBind release so its checkpoint
+converts via `convert_from_imagebind`. Preprocessing
+(`preprocess_vision`, `preprocess_audio`) replaces the torchvision/
+torchaudio transforms with numpy/JAX equivalents.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.prng import KeyChain
+from ..ops.attention import dot_product_attention
+from . import layers as L
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    width: int = 1280
+    layers: int = 32
+    heads: int = 16
+    patch: int = 14
+    image_size: int = 224
+    in_channels: int = 3
+    out_dim: int = 1024
+    mlp_ratio: float = 4.0
+    pre_ln: bool = True
+
+    @staticmethod
+    def imagebind_vision() -> "ViTConfig":
+        return ViTConfig()
+
+    @staticmethod
+    def imagebind_audio() -> "ViTConfig":
+        # audio trunk: ViT-B/16 over 128×204 mel "images", 1 channel
+        return ViTConfig(
+            width=768, layers=12, heads=12, patch=16, image_size=0, in_channels=1
+        )
+
+    @staticmethod
+    def tiny(in_channels: int = 3) -> "ViTConfig":
+        return ViTConfig(
+            width=32, layers=2, heads=4, patch=14, image_size=28,
+            in_channels=in_channels, out_dim=16,
+        )
+
+
+def _block_init(kc, d, mlp):
+    return {
+        "ln1": L.layer_norm_init(d),
+        "qkv": L.linear_init(kc(), d, 3 * d),
+        "proj": L.linear_init(kc(), d, d),
+        "ln2": L.layer_norm_init(d),
+        "fc1": L.linear_init(kc(), d, mlp),
+        "fc2": L.linear_init(kc(), mlp, d),
+    }
+
+
+def _block(p, x, heads):
+    b, s, d = x.shape
+    hd = d // heads
+    h = L.layer_norm(p["ln1"], x)
+    qkv = L.linear(p["qkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    o = dot_product_attention(
+        q.reshape(b, s, heads, hd), k.reshape(b, s, heads, hd), v.reshape(b, s, heads, hd)
+    )
+    x = x + L.linear(p["proj"], o.reshape(b, s, d))
+    h = L.layer_norm(p["ln2"], x)
+    x = x + L.linear(p["fc2"], L.gelu(L.linear(p["fc1"], h)))
+    return x
+
+
+def init(key, cfg: ViTConfig, num_patches: Optional[int] = None):
+    kc = KeyChain(key)
+    d = cfg.width
+    if num_patches is None:
+        num_patches = (cfg.image_size // cfg.patch) ** 2
+    mlp = int(d * cfg.mlp_ratio)
+    p = {
+        "patch_embed": {
+            "w": jax.random.normal(kc(), (cfg.patch, cfg.patch, cfg.in_channels, d)) * 0.02
+        },
+        "cls_token": jnp.zeros((1, 1, d)),
+        "pos_embed": jax.random.normal(kc(), (1, num_patches + 1, d)) * 0.02,
+        "head_ln": L.layer_norm_init(d),
+        "head_proj": L.linear_init(kc(), d, cfg.out_dim, bias=False),
+    }
+    if cfg.pre_ln:
+        p["pre_ln"] = L.layer_norm_init(d)
+    for i in range(cfg.layers):
+        p[f"block_{i}"] = _block_init(kc, d, mlp)
+    return p
+
+
+def apply(params, x: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """x: (B, H, W, C) preprocessed → (B, out_dim) joint-space embedding."""
+    b = x.shape[0]
+    h = jax.lax.conv_general_dilated(
+        x,
+        params["patch_embed"]["w"].astype(x.dtype),
+        window_strides=(cfg.patch, cfg.patch),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).reshape(b, -1, cfg.width)
+    cls = jnp.broadcast_to(params["cls_token"].astype(h.dtype), (b, 1, cfg.width))
+    h = jnp.concatenate([cls, h], axis=1)
+    assert h.shape[1] == params["pos_embed"].shape[1], (
+        f"token count {h.shape[1]} != pos_embed {params['pos_embed'].shape[1]} — "
+        "input resolution does not match the encoder config"
+    )
+    h = h + params["pos_embed"].astype(h.dtype)
+    if "pre_ln" in params:
+        h = L.layer_norm(params["pre_ln"], h)
+    for i in range(cfg.layers):
+        h = _block(params[f"block_{i}"], h, cfg.heads)
+    pooled = h[:, 0]
+    pooled = L.layer_norm(params["head_ln"], pooled)
+    return L.linear(params["head_proj"], pooled)
+
+
+# -------------------------------------------------------------- frontends
+
+_V_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+_V_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def preprocess_vision(img: np.ndarray, size: int = 224) -> np.ndarray:
+    """uint8 (H,W,3) → normalized (1, size, size, 3)."""
+    from ..codecs.image_io import resize_center_crop
+
+    x = resize_center_crop(img, size).astype(np.float32) / 255.0
+    x = (x - _V_MEAN) / _V_STD
+    return x[None]
+
+
+def preprocess_audio(
+    wav: np.ndarray,
+    sr: int = 16000,
+    num_mel_bins: int = 128,
+    target_frames: int = 204,
+    clip_seconds: float = 2.0,
+    num_clips: int = 3,
+) -> np.ndarray:
+    """waveform → (num_clips, 128, target_frames, 1) normalized log-mel
+    clips (ImageBind samples 3 × 2 s clips and averages embeddings)."""
+    from ..codecs.processors import log_mel_spectrogram
+
+    clip_len = int(sr * clip_seconds)
+    total = max(len(wav), clip_len)
+    wav = np.pad(wav, (0, max(0, total - len(wav))))
+    starts = np.linspace(0, max(total - clip_len, 0), num_clips).astype(int)
+    clips = []
+    for s in starts:
+        seg = wav[s : s + clip_len]
+        mel = log_mel_spectrogram(
+            seg, sr, n_fft=400, hop=clip_len // target_frames, n_mels=num_mel_bins
+        )
+        mel = mel[:, :target_frames]
+        if mel.shape[1] < target_frames:
+            mel = np.pad(mel, ((0, 0), (0, target_frames - mel.shape[1])))
+        mel = (mel - mel.mean()) / (mel.std() + 1e-6)
+        clips.append(mel[..., None])
+    return np.stack(clips).astype(np.float32)
+
+
+def embed_vision(params, cfg: ViTConfig, img: np.ndarray) -> jax.Array:
+    size = cfg.image_size or 224
+    return apply(params, jnp.asarray(preprocess_vision(img, size)), cfg)
+
+
+def embed_audio(params, cfg: ViTConfig, wav: np.ndarray, sr: int = 16000) -> jax.Array:
+    clips = jnp.asarray(preprocess_audio(wav, sr))
+    emb = apply(params, clips, cfg)
+    return jnp.mean(emb, axis=0, keepdims=True)

@@ -53,6 +53,7 @@ class UNetConfig:
     addition_embed_type: Optional[str] = "text_time"
     addition_time_embed_dim: int = 256
     projection_class_embeddings_input_dim: int = 2816
+    num_time_ids: int = 6  # SDXL base; refiner uses 5 (incl. aesthetic score)
     use_linear_projection: bool = True
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
@@ -82,6 +83,7 @@ class UNetConfig:
             num_attention_heads=(6, 12, 24, 24),
             cross_attention_dim=1280,
             projection_class_embeddings_input_dim=2560,
+            num_time_ids=5,
         )
 
     @staticmethod
@@ -107,7 +109,10 @@ class UNetConfig:
 
     @property
     def pooled_dim(self) -> int:
-        return self.projection_class_embeddings_input_dim - 6 * self.addition_time_embed_dim
+        return (
+            self.projection_class_embeddings_input_dim
+            - self.num_time_ids * self.addition_time_embed_dim
+        )
 
 
 # ------------------------------------------------------------------ blocks

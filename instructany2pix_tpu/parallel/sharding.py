@@ -1,0 +1,131 @@
+"""GSPMD sharding rules — the TPU-native replacement for DeepSpeed
+ZeRO-3 + NCCL (reference scripts/zero3.json:16-27, scripts/train.sh:7-9)
+and the serving-time tensor parallelism the reference lacks
+(SURVEY.md §2.13).
+
+Strategy on the 2D ("data", "model") mesh from core.mesh:
+  * Training (ZeRO-3 class): `fsdp_rules` shard every parameter's
+    largest axis across BOTH mesh axes — parameters, gradients, and
+    optimizer state (which inherits param shardings through jit) are
+    fully sharded; XLA inserts the all-gather/reduce-scatter
+    collectives the reference got from DeepSpeed.
+  * Serving (TP): `llama_tp_rules` / `unet_tp_rules` shard attention
+    heads and MLP hidden dims over "model" — column-parallel in
+    projections (output dim sharded), row-parallel out-projections
+    (input dim sharded) so each block needs one psum, inserted by XLA.
+Activations shard batch over "data" via `batch_spec`.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import tree as tree_util
+from ..core.mesh import DATA_AXIS, MODEL_AXIS
+
+Rules = Sequence[Tuple[str, P]]
+
+
+# ---------------------------------------------------------------- FSDP
+
+
+def fsdp_spec(shape, mesh: Mesh, min_size: int = 1024) -> P:
+    """Shard the largest divisible axis across (data, model); replicate
+    tiny params."""
+    if not shape or int(np.prod(shape)) < min_size:
+        return P()
+    n_total = mesh.devices.size
+    order = sorted(range(len(shape)), key=lambda i: -shape[i])
+    for axis in order:
+        if shape[axis] % n_total == 0:
+            spec = [None] * len(shape)
+            spec[axis] = (DATA_AXIS, MODEL_AXIS)
+            return P(*spec)
+    # fall back to sharding over just the model axis
+    n_model = mesh.shape[MODEL_AXIS]
+    for axis in order:
+        if shape[axis] % n_model == 0:
+            spec = [None] * len(shape)
+            spec[axis] = MODEL_AXIS
+            return P(*spec)
+    return P()
+
+
+def shard_params_fsdp(params, mesh: Mesh, min_size: int = 1024):
+    """Device-put a param pytree fully sharded (ZeRO-3 equivalent)."""
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, fsdp_spec(x.shape, mesh, min_size))
+        ),
+        params,
+    )
+
+
+def fsdp_shardings(params, mesh: Mesh, min_size: int = 1024):
+    """Matching pytree of NamedShardings (for jit in_shardings)."""
+    return jax.tree.map(
+        lambda x: NamedSharding(mesh, fsdp_spec(x.shape, mesh, min_size)), params
+    )
+
+
+# ------------------------------------------------------------------ TP
+
+# (regex over flat param path, PartitionSpec) — first match wins.
+LLAMA_TP_RULES: Rules = [
+    (r"embed_tokens\.w$", P(None, MODEL_AXIS)),
+    (r"lm_head\.w$", P(None, MODEL_AXIS)),
+    (r"layer_\d+\.(q|k|v)\.w$", P(None, MODEL_AXIS)),  # column parallel
+    (r"layer_\d+\.o\.w$", P(MODEL_AXIS, None)),  # row parallel
+    (r"layer_\d+\.(gate|up)\.w$", P(None, MODEL_AXIS)),
+    (r"layer_\d+\.down\.w$", P(MODEL_AXIS, None)),
+    (r".*norm\.g$", P()),
+]
+
+UNET_TP_RULES: Rules = [
+    # attention projections: heads on the output dim
+    (r".*\.attn\d?\.to_(q|k|v|k_ip|v_ip)\.w$", P(None, MODEL_AXIS)),
+    (r".*\.attn\d?\.to_out\.w$", P(MODEL_AXIS, None)),
+    (r".*\.(ff_in|fc1)\.w$", P(None, MODEL_AXIS)),
+    (r".*\.(ff_out|fc2)\.w$", P(MODEL_AXIS, None)),
+    # convs: shard output channels
+    (r".*conv\d?\.w$", P(None, None, None, MODEL_AXIS)),
+    (r".*\.(down|up|shortcut|conv_in|conv_out)\.w$", P(None, None, None, MODEL_AXIS)),
+    (r".*", P()),
+]
+
+
+def apply_tp_rules(params, mesh: Mesh, rules: Rules):
+    """Device-put params according to regex TP rules. Axes that don't
+    divide evenly fall back to replication."""
+    flat = tree_util.flatten(params)
+    out = {}
+    n_model = mesh.shape[MODEL_AXIS]
+    for path, leaf in flat.items():
+        spec = tree_util.match_rules(path, rules) or P()
+        # validate divisibility
+        ok = True
+        for dim, ax in zip(leaf.shape, tuple(spec) + (None,) * len(leaf.shape)):
+            if ax is not None:
+                size = n_model if ax == MODEL_AXIS else mesh.shape[DATA_AXIS]
+                if isinstance(ax, tuple):
+                    size = int(np.prod([mesh.shape[a] for a in ax]))
+                if dim % size != 0:
+                    ok = False
+        spec = spec if ok else P()
+        out[path] = jax.device_put(leaf, NamedSharding(mesh, spec))
+    return tree_util.unflatten(out)
+
+
+def batch_spec(ndim: int) -> P:
+    return P(*((DATA_AXIS,) + (None,) * (ndim - 1)))
+
+
+def batch_shardings(batch, mesh: Mesh):
+    return jax.tree.map(
+        lambda x: NamedSharding(mesh, batch_spec(getattr(x, "ndim", 0) or 1)), batch
+    )

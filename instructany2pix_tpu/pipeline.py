@@ -1,0 +1,608 @@
+"""InstructAny2PixPipeline — the public any-modality-to-image edit API.
+
+API-compatible rebuild of reference pipeline.py:96-411: same entry
+points (`__init__(ckpt, llm_folder)`, `forward_llm(inst, mm_data,
+use_cache)`, `__call__(inst, mm_data, alpha, h, norm, refinement,
+llm_only, num_inference_steps, use_cache, debug, diffusion_mode,
+subject_strength, cfg, scale)`), same defaults, same return contracts.
+
+TPU-native differences (behavior-preserving):
+  * every stage is a jitted JAX graph — the LLM generates with a KV
+    cache (the reference recomputes the full prefix per token,
+    pipeline.py:208), the denoise/inversion loops are `lax.scan`s, and
+    ImageBind conditioning runs on-device instead of CPU
+    (pipeline.py:159-164);
+  * models are pure functions over param pytrees; real checkpoints
+    import through core.checkpoint converters; without checkpoints the
+    pipeline builds deterministic random tiny models (`tiny=True`) so
+    the full edit graph stays executable and testable end to end —
+    the reference has no equivalent smoke path (SURVEY.md §4).
+
+Stage trace parity (reference §3.1/§3.2 of SURVEY.md):
+  forward_llm: ImageBind embeds → ×20 renorm → vicuna_v1 prompt →
+  KV-cached sampling (temp 0.3, ≤100 tokens, stop "</s>") →
+  `<im_gen>`/`<video>` bookkeeping → vae_predictor readouts → base
+  selection (single input shortcut / cosine argmax) → `additions:`
+  subject parsing → caption = first "[...]" group.
+  __call__: prior (no_diffusion, cfg 10, score 6.5, src norm 100) →
+  latent mix h·(base, llm, 20·prior) renorm → DDIM inverse →
+  polar interpolate α → IP-Adapter global denoise → refiner
+  (strength=refinement) → optional subject consistency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .codecs import image_io
+from .core.prng import KeyChain
+from .diffusion import img2img as i2i
+from .diffusion import ip_adapter as ipa
+from .diffusion import sampler as sampler_lib
+from .diffusion.schedulers import Schedule, SchedulerConfig
+from .grounding import lib as grounding_lib
+from .llm import constants as C
+from .llm import generate as gen_lib
+from .llm import multimodal as mm_lib
+from .llm.conversation import SeparatorStyle, conv_templates
+from .llm.tokenizer import initialize_vision_tokenizer, load_tokenizer
+from .models import clip as clip_lib
+from .models import imagebind as imagebind_lib
+from .models import llama as llama_lib
+from .models import unet as unet_lib
+from .models import vae as vae_lib
+from .prior import model as prior_lib
+
+MODALITY = prior_lib.MODALITY
+REPLACEMENT_TYPE = C.REPLACEMENT_TYPE
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    llm: mm_lib.Any2PixLMConfig = None  # type: ignore[assignment]
+    prior: prior_lib.PriorConfig = prior_lib.PriorConfig()
+    unet: unet_lib.UNetConfig = unet_lib.UNetConfig.sdxl_base(with_ip=True)
+    refiner: unet_lib.UNetConfig = unet_lib.UNetConfig.sdxl_refiner()
+    inpaint_unet: unet_lib.UNetConfig = unet_lib.UNetConfig.sdxl_inpaint(with_ip=True)
+    vae: vae_lib.VAEConfig = vae_lib.VAEConfig()
+    text1: clip_lib.CLIPTextConfig = clip_lib.CLIPTextConfig.vit_l()
+    text2: clip_lib.CLIPTextConfig = clip_lib.CLIPTextConfig.open_clip_bigg()
+    prior_text: clip_lib.CLIPTextConfig = clip_lib.CLIPTextConfig.vit_h()
+    image_proj: ipa.ImageProjConfig = ipa.ImageProjConfig()
+    imagebind_vision: imagebind_lib.ViTConfig = imagebind_lib.ViTConfig.imagebind_vision()
+    imagebind_audio: imagebind_lib.ViTConfig = imagebind_lib.ViTConfig.imagebind_audio()
+    image_size: int = 1024
+    embed_norm: float = 20.0
+
+    @staticmethod
+    def tiny() -> "PipelineConfig":
+        t1 = clip_lib.CLIPTextConfig.tiny()
+        t2 = dataclasses.replace(clip_lib.CLIPTextConfig.tiny(), projection_dim=24)
+        tiny_unet = unet_lib.UNetConfig.tiny(with_ip=True)
+        ctx = t1.hidden_size + t2.hidden_size  # 64
+        unet_cfg = dataclasses.replace(
+            tiny_unet,
+            cross_attention_dim=ctx,
+            projection_class_embeddings_input_dim=24 + 6 * tiny_unet.addition_time_embed_dim,
+        )
+        inp_cfg = dataclasses.replace(unet_cfg, in_channels=9)
+        ref_cfg = dataclasses.replace(
+            unet_lib.UNetConfig.tiny(with_ip=False),
+            cross_attention_dim=t2.hidden_size,
+            projection_class_embeddings_input_dim=24
+            + 5 * tiny_unet.addition_time_embed_dim,
+            num_time_ids=5,
+        )
+        return PipelineConfig(
+            llm=mm_lib.Any2PixLMConfig.tiny(),
+            prior=dataclasses.replace(
+                prior_lib.PriorConfig.tiny(),
+                embed_dim=16,  # must equal the codec dim so mix_latents works
+                output_dim=16,
+                imagebind_dim=16,
+                text_dim=32,
+                gpt2=dataclasses.replace(
+                    prior_lib.gpt2.GPT2Config.tiny(), hidden_size=16
+                ),
+                sequence_input_key=(
+                    ("src_type", 0),
+                    ("imagebind", 16),
+                    ("crossattn_clip", 32),
+                    ("score", 8),
+                    ("noisy_inputs", 0),
+                ),
+            ),
+            unet=unet_cfg,
+            refiner=ref_cfg,
+            inpaint_unet=inp_cfg,
+            vae=vae_lib.VAEConfig.tiny(),
+            text1=t1,
+            text2=t2,
+            prior_text=dataclasses.replace(clip_lib.CLIPTextConfig.tiny(), hidden_size=32, intermediate_size=64, projection_dim=None),
+            image_proj=ipa.ImageProjConfig(cross_attention_dim=ctx, clip_embeddings_dim=16),
+            imagebind_vision=imagebind_lib.ViTConfig.tiny(),
+            imagebind_audio=dataclasses.replace(
+                imagebind_lib.ViTConfig.tiny(in_channels=1), image_size=0
+            ),
+            image_size=64,
+        )
+
+
+def _tokenize_pad(tok, text: str, length: int = 77, eos: Optional[int] = None):
+    ids = tok.encode(text) if hasattr(tok, "encode") else tok(text).input_ids
+    ids = list(ids)[:length]
+    if eos is not None and (not ids or ids[-1] != eos) and len(ids) < length:
+        ids.append(eos)
+    ids = ids + [0] * (length - len(ids))
+    return np.asarray([ids], np.int32)
+
+
+class InstructAny2PixPipeline:
+    """Drop-in counterpart of reference `InstructAny2PixPipeline`."""
+
+    def __init__(
+        self,
+        ckpt: str = "ckpts",
+        llm_folder: str = "llm-retrained",
+        tiny: Optional[bool] = None,
+        seed: int = 0,
+        config: Optional[PipelineConfig] = None,
+    ):
+        has_ckpts = os.path.isdir(os.path.join(ckpt, llm_folder))
+        if tiny is None:
+            tiny = not has_ckpts
+        self.tiny = tiny
+        self.cfg = config or (PipelineConfig.tiny() if tiny else PipelineConfig())
+        if self.cfg.llm is None:
+            self.cfg = dataclasses.replace(self.cfg, llm=mm_lib.Any2PixLMConfig())
+        self.schedule = Schedule.create(SchedulerConfig())
+        self.cache = None
+
+        self.tokenizer = load_tokenizer(
+            os.path.join(ckpt, llm_folder, "tokenizer") if has_ckpts else None
+        )
+        self.token_ids = initialize_vision_tokenizer(self.tokenizer)
+        if tiny:
+            self.cfg = dataclasses.replace(
+                self.cfg, llm=mm_lib.Any2PixLMConfig.tiny(self.token_ids)
+            )
+
+        kc = KeyChain(seed)
+        if tiny:
+            self.params = self._init_random(kc)
+        else:
+            self.params = self._load_checkpoints(ckpt, llm_folder)
+
+        # grounding components: pluggable; fall back to whole-image
+        # grounding when DINO/SAM checkpoints are absent
+        self.grounder = grounding_lib.cosine_fallback_grounder(None)
+        self.segmentor = grounding_lib.box_fill_segmentor
+
+    # ------------------------------------------------------------ weights
+
+    def _init_random(self, kc: KeyChain) -> Dict[str, Any]:
+        c = self.cfg
+        return {
+            "llm": mm_lib.init(kc(), c.llm),
+            "prior": prior_lib.init(kc(), c.prior),
+            "unet": unet_lib.init(kc(), c.unet),
+            "refiner": unet_lib.init(kc(), c.refiner),
+            "inpaint_unet": unet_lib.init(kc(), c.inpaint_unet),
+            "vae": vae_lib.init(kc(), c.vae),
+            "text1": clip_lib.text_init(kc(), c.text1),
+            "text2": clip_lib.text_init(kc(), c.text2),
+            "prior_text": clip_lib.text_init(kc(), c.prior_text),
+            "image_proj": ipa.init(kc(), c.image_proj),
+            "imagebind_vision": imagebind_lib.init(kc(), c.imagebind_vision),
+            "imagebind_audio": imagebind_lib.init(
+                kc(), c.imagebind_audio, num_patches=(128 // 16) * (204 // 16)
+            ),
+        }
+
+    def _load_checkpoints(self, ckpt: str, llm_folder: str) -> Dict[str, Any]:
+        from .loaders import load_pipeline_params
+
+        return load_pipeline_params(self.cfg, ckpt, llm_folder)
+
+    # -------------------------------------------------------- conditioning
+
+    def _embed_media(self, item: dict) -> jax.Array:
+        """One mm_data entry → 1024-d ImageBind-space embedding. Accepts
+        precomputed embeddings under 'embed' (the npz feature path) or
+        raw files under 'fname'."""
+        if "embed" in item:
+            e = jnp.asarray(np.asarray(item["embed"], np.float32)).reshape(1, -1)
+            return e
+        fpath = item["fname"]
+        if item["type"] == "image":
+            img = image_io.load_image(fpath)
+            return imagebind_lib.embed_vision(
+                self.params["imagebind_vision"], self.cfg.imagebind_vision, img
+            )
+        if item["type"] == "audio":
+            wav = _load_wav(fpath)
+            return imagebind_lib.embed_audio(
+                self.params["imagebind_audio"], self.cfg.imagebind_audio, wav
+            )
+        raise ValueError(item["type"])
+
+    # ---------------------------------------------------------- LLM stage
+
+    def forward_llm(self, inst: str, mm_data: List[dict] = [], use_cache: bool = False):
+        if use_cache and self.cache is not None:
+            return self.cache
+
+        embeds = [self._embed_media(r) for r in mm_data]
+        aux_info = (
+            jnp.concatenate(embeds, axis=0)
+            if embeds
+            else jnp.zeros((0, self.cfg.llm.image_codec_dim))
+        )
+        aux_info = (
+            aux_info
+            / (jnp.linalg.norm(aux_info, axis=-1, keepdims=True) + 1e-9)
+            * self.cfg.embed_norm
+        )
+
+        conv = conv_templates["vicuna_v1"].copy()
+        conv.append_message(conv.roles[0], inst)
+        conv.append_message(conv.roles[1], None)
+        prompt = conv.get_prompt()
+        input_ids = np.asarray([self.tokenizer(prompt).input_ids], np.int64)
+
+        types = jnp.full((aux_info.shape[0],), REPLACEMENT_TYPE.INPUT, jnp.int32)
+        inputs_embeds = mm_lib.splice_input_embeds(
+            self.params["llm"], self.cfg.llm, jnp.asarray(input_ids), aux_info, types
+        )
+        eos_id = getattr(self.tokenizer, "eos_token_id", 2)
+        result = gen_lib.generate(
+            self.params["llm"]["llama"],
+            self.cfg.llm.llama,
+            inputs_embeds,
+            jax.random.key(np.random.randint(0, 2**31)),
+            max_new_tokens=100,
+            temperature=0.3,
+            eos_id=eos_id,
+        )
+        n_out = min(int(result.done_at[0]) + 1, result.tokens.shape[1])
+        out_seq = np.asarray(result.tokens[0, :n_out])
+        hiddens = result.hiddens[0, :n_out]
+        full_text = self.tokenizer.decode(
+            list(input_ids[0]) + list(out_seq)
+        )
+
+        vid_id = self.token_ids[C.DEFAULT_VIDEO_TOKEN]
+        im_gen_id = self.token_ids[C.DEFAULT_IM_GEN_TOKEN]
+        base_id = self.token_ids[C.DEFAULT_BASE_TOKEN]
+
+        im_gen_pos = np.where(out_seq == im_gen_id)[0]
+        all_gen = np.empty((0,), np.int64)
+        if len(im_gen_pos):
+            im_gem_idx = im_gen_pos[-1]
+            all_gen = np.where(out_seq == vid_id)[0]
+            all_gen = all_gen[all_gen > im_gem_idx]
+        if len(all_gen) == 0:
+            # no usable generation tokens — caption-only fallback,
+            # reference pipeline.py:217-221
+            caption = full_text.split("ASSISTANT:")[-1]
+            return None, None, caption, None, None
+        gen_idx = int(all_gen[0])
+        remaining = all_gen[1:]
+
+        image_embeds = np.asarray(
+            mm_lib.predict_image_embedding(self.params["llm"], hiddens[gen_idx][None])
+        )
+        extra_embeds = (
+            np.concatenate(
+                [
+                    np.asarray(
+                        mm_lib.predict_image_embedding(
+                            self.params["llm"], hiddens[int(i)][None]
+                        )
+                    )
+                    for i in remaining
+                ]
+            )
+            if len(remaining)
+            else np.zeros((0, image_embeds.shape[-1]), np.float32)
+        )
+
+        aux_np = np.asarray(aux_info)
+        if len(mm_data) == 1:
+            base_idx = 0
+            base_embed = aux_np[0]
+        else:
+            base_pos = np.where(out_seq == base_id)[0]
+            if len(base_pos) and base_pos[0] + 1 < n_out:
+                h_base = hiddens[int(base_pos[0]) + 1][None]
+                base_pred = np.asarray(
+                    mm_lib.predict_image_embedding(self.params["llm"], h_base)
+                )[0]
+                sims = (
+                    base_pred / (np.linalg.norm(base_pred) + 1e-9) * self.cfg.embed_norm
+                ) @ aux_np.T
+                base_idx = int(np.argmax(sims))
+            else:
+                base_idx = 0
+            base_embed = aux_np[base_idx] if len(aux_np) else np.zeros_like(image_embeds[0])
+        base_img_path = mm_data[base_idx]["fname"] if mm_data else None
+
+        all_objs = self.get_all_objs(full_text)
+        if len(all_objs) != len(extra_embeds):
+            all_objs = []
+        extra_idx: Any = []
+        if all_objs:
+            sims = (
+                extra_embeds
+                / (np.linalg.norm(extra_embeds) + 1e-9)
+                * self.cfg.embed_norm
+            ) @ aux_np.T
+            extra_idx = np.argmax(sims, axis=1)
+            extra_embeds = aux_np[extra_idx]
+
+        caption_groups = re.findall(r"\[([^\]]+)\]", full_text)
+        output_caption = caption_groups[0] if caption_groups else full_text.split("ASSISTANT:")[-1]
+        extra_data = dict(all_objs=all_objs, extra_embeds=extra_embeds, extra_idx=extra_idx)
+        out = (
+            jnp.asarray(image_embeds),
+            jnp.asarray(base_embed),
+            output_caption,
+            base_img_path,
+            extra_data,
+        )
+        self.cache = out
+        return out
+
+    @staticmethod
+    def get_all_objs(s: str) -> List[str]:
+        """Parse `additions:<name>:<video>.` subject suffix (reference
+        pipeline.py:281-287)."""
+        matched = re.findall(r"additions:(.*)\</s\>", s)
+        if not matched:
+            return []
+        return re.findall(r"([^:]+):<video>", matched[0])
+
+    # -------------------------------------------------------- helpers
+
+    def _encode_sdxl_prompt(self, prompt: str):
+        c = self.cfg
+        ids1 = _tokenize_pad(self.tokenizer, prompt, 77, c.text1.eos_token_id)
+        ids2 = _tokenize_pad(self.tokenizer, prompt, 77, c.text2.eos_token_id)
+        return sampler_lib.encode_prompt_sdxl(
+            self.params["text1"], c.text1, self.params["text2"], c.text2,
+            jnp.asarray(ids1), jnp.asarray(ids2),
+        )
+
+    def _encode_prior_text(self, prompt: str = ""):
+        c = self.cfg
+        ids = _tokenize_pad(
+            self.tokenizer, prompt, c.prior.text_len, c.prior_text.eos_token_id
+        )
+        out = clip_lib.text_apply(self.params["prior_text"], jnp.asarray(ids), c.prior_text)
+        return out["last_hidden_state"], jnp.ones(ids.shape, jnp.float32)
+
+    def loas_base_img(self, base_img_path):  # reference name preserved
+        return self.load_base_img(base_img_path)
+
+    def load_base_img(self, base_img_path) -> np.ndarray:
+        return image_io.resize_and_crop(base_img_path, self.cfg.image_size)
+
+    def polar_intrtpolate(self, x, y, alpha):  # reference name preserved
+        return sampler_lib.polar_interpolate(x, y, alpha)
+
+    # ------------------------------------------------------------- __call__
+
+    def __call__(
+        self,
+        inst: str,
+        mm_data: List[dict],
+        alpha: float = 0.7,
+        h: Tuple[float, float, float] = (0.0, 0.4, 1.0),
+        norm: float = 20.0,
+        refinement: float = 0.5,
+        llm_only: bool = False,
+        num_inference_steps: int = 25,
+        use_cache: bool = False,
+        debug: bool = False,
+        diffusion_mode: str = "default",
+        subject_strength: float = 0.0,
+        cfg: float = 10,
+        scale: float = 1.0,
+        seed: Optional[int] = None,
+    ) -> Any:
+        c = self.cfg
+        kc = KeyChain(seed if seed is not None else np.random.randint(0, 2**31))
+
+        image_embeds, base_embed, output_caption, base_img_path, extra_data = (
+            self.forward_llm(inst, mm_data, use_cache=use_cache)
+        )
+        self.cache = (image_embeds, base_embed, output_caption, base_img_path, extra_data)
+        if llm_only or image_embeds is None:
+            return None, None, output_caption
+
+        # prior refinement (reference pipeline.py:313-317)
+        th, tm = self._encode_prior_text("")
+        src = image_embeds / (jnp.linalg.norm(image_embeds) + 1e-9) * 100.0
+        y = prior_lib.generate_diffusion(
+            self.params["prior"], c.prior, MODALITY.VIDEO, MODALITY.IMAGE,
+            src.reshape(1, -1), th, tm,
+            guidance_scale=10.0, score=6.5, no_diffusion=True,
+        )[:, 0]
+
+        img_base = self.load_base_img(base_img_path)
+
+        latent_la = sampler_lib.mix_latents(
+            base_embed.reshape(1, -1), image_embeds.reshape(1, -1),
+            y / (jnp.linalg.norm(y) + 1e-9), h, norm,
+        )
+
+        # DDIM inversion of the base image (reference pipeline.py:330)
+        x = jnp.asarray(image_io.to_model_range(img_base))[None]
+        src_lat = vae_lib.encode(self.params["vae"], x, key=kc(), cfg=c.vae)
+        ctx_null, pooled_null = self._encode_sdxl_prompt("")
+        tid = sampler_lib.default_time_ids(c.image_size, c.image_size, 1)
+        latent_inv = sampler_lib.ddim_invert(
+            self.params["unet"], c.unet, self.schedule, src_lat,
+            ctx_null, pooled_null, tid, num_inference_steps=num_inference_steps,
+        )
+        latent_inv = sampler_lib.polar_interpolate(
+            latent_inv, jax.random.normal(kc(), latent_inv.shape), alpha
+        )
+
+        # IP-Adapter global-mode generation (reference pipeline.py:342-354)
+        prompt = "best quality, high quality" + output_caption
+        ctx_p, pooled_p = self._encode_sdxl_prompt(prompt)
+        ip_cond, ip_uncond = ipa.get_image_embeds(
+            self.params["image_proj"], c.image_proj,
+            clip_image_embeds=latent_la, mode="global",
+        )
+        lat = sampler_lib.denoise(
+            self.params["unet"], c.unet, self.schedule, latent_inv,
+            ctx_p, ctx_null, pooled_p, pooled_null, tid,
+            num_inference_steps=num_inference_steps, guidance_scale=cfg,
+            ip_tokens=ip_cond, ip_tokens_uncond=ip_uncond, ip_scale=scale,
+        )
+        img = vae_lib.decode(self.params["vae"], lat, c.vae)
+        non_refined = image_io.from_model_range(np.asarray(img[0]))
+
+        # refiner (reference pipeline.py:358-359)
+        if refinement > 0:
+            rprompt = output_caption + ",high quality,well-formed,award-winning"
+            ids2 = _tokenize_pad(self.tokenizer, rprompt, 77, c.text2.eos_token_id)
+            o2 = clip_lib.text_apply(self.params["text2"], jnp.asarray(ids2), c.text2)
+            rctx = o2["hidden_states"][-2]
+            rpooled = o2.get("text_embeds", o2["pooled"])
+            ids2n = _tokenize_pad(self.tokenizer, "", 77, c.text2.eos_token_id)
+            o2n = clip_lib.text_apply(self.params["text2"], jnp.asarray(ids2n), c.text2)
+            # refiner time ids include the aesthetic score as 5th entry
+            rtid = jnp.asarray(
+                [[c.image_size, c.image_size, 0, 0, 6.0]], jnp.float32
+            )
+            rlat = vae_lib.encode(
+                self.params["vae"], jnp.asarray(image_io.to_model_range(non_refined))[None],
+                key=kc(), cfg=c.vae,
+            )
+            rlat = i2i.img2img(
+                self.params["refiner"], c.refiner, self.schedule, rlat, kc(),
+                rctx, o2n["hidden_states"][-2], rpooled,
+                o2n.get("text_embeds", o2n["pooled"]), rtid,
+                num_inference_steps=num_inference_steps, strength=refinement,
+                guidance_scale=cfg,
+            )
+            rimg = vae_lib.decode(self.params["vae"], rlat, c.vae)
+            oo = image_io.from_model_range(np.asarray(rimg[0]))
+        else:
+            oo = non_refined
+
+        an = None
+        subject_data = []
+        if subject_strength > 0 and len(extra_data["extra_idx"]) > 0:
+            subject_data = [
+                {"name": k, "embed": v}
+                for (k, v, i) in zip(
+                    extra_data["all_objs"],
+                    extra_data["extra_embeds"],
+                    extra_data["extra_idx"],
+                )
+                if mm_data[int(i)]["type"] == "image"
+            ]
+            oo, an = grounding_lib.subject_consistency(
+                subject_data, output_caption, oo, self.segmentor, self.grounder,
+                self._make_inpaint_fn(kc, num_inference_steps, subject_strength),
+                subject_strength,
+            )
+
+        if not debug:
+            msg: Any = "SUCCESS!"
+        else:
+            msg = dict(
+                output_caption=output_caption,
+                latent_inv=latent_inv,
+                img_base=img_base,
+                latent_la=latent_la,
+                base_embed=base_embed,
+                annotations=an,
+                subjec_data=subject_data,  # reference key name preserved
+                y=y / (jnp.linalg.norm(y) + 1e-9),
+            )
+        return non_refined, oo, msg
+
+    def _make_inpaint_fn(self, kc: KeyChain, steps: int, strength: float):
+        c = self.cfg
+
+        def inpaint_fn(image: np.ndarray, mask: np.ndarray, subject_embed, prompt: str):
+            x = jnp.asarray(image_io.to_model_range(image))[None]
+            lat = vae_lib.encode(self.params["vae"], x, key=kc(), cfg=c.vae)
+            masked = x * (1.0 - jnp.asarray(mask)[None, :, :, None])
+            masked_lat = vae_lib.encode(self.params["vae"], masked, key=kc(), cfg=c.vae)
+            ctx_p, pooled_p = self._encode_sdxl_prompt(prompt)
+            ctx_n, pooled_n = self._encode_sdxl_prompt("")
+            tid = sampler_lib.default_time_ids(c.image_size, c.image_size, 1)
+            ip_cond, ip_uncond = ipa.get_image_embeds(
+                self.params["image_proj"], c.image_proj,
+                clip_image_embeds_local=jnp.asarray(subject_embed).reshape(1, -1),
+                mode="local",
+            )
+            out = i2i.inpaint(
+                self.params["inpaint_unet"], c.inpaint_unet, self.schedule, lat,
+                jnp.asarray(mask)[None, :, :, None], masked_lat, kc(),
+                ctx_p, ctx_n, pooled_p, pooled_n, tid,
+                num_inference_steps=50, strength=strength, guidance_scale=7.5,
+                ip_tokens=ip_cond, ip_tokens_uncond=ip_uncond, ip_scale=0.8,
+            )
+            img = vae_lib.decode(self.params["vae"], out, c.vae)
+            return image_io.from_model_range(np.asarray(img[0]))
+
+        return inpaint_fn
+
+
+def _load_wav(path: str) -> np.ndarray:
+    """Minimal audio decode: .npy passthrough or WAV via the stdlib.
+    (The reference shells out to ffmpeg; compressed formats need an
+    external decoder.)"""
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    import wave
+
+    with wave.open(path) as w:
+        frames = w.readframes(w.getnframes())
+        dtype = {1: np.int8, 2: np.int16, 4: np.int32}[w.getsampwidth()]
+        data = np.frombuffer(frames, dtype=dtype).astype(np.float32)
+        data /= float(np.iinfo(dtype).max)
+        if w.getnchannels() > 1:
+            data = data.reshape(-1, w.getnchannels()).mean(axis=1)
+    return data
+
+
+# JSON helpers (reference pipeline.py:388-411)
+def load_json(fp):
+    import json
+
+    with open(fp) as f:
+        return json.loads(f.read())
+
+
+def dump_json(obj, fp):
+    import json
+
+    with open(fp, "w") as f:
+        f.write(json.dumps(obj))
+
+
+def preprocess_mm_data(mm_data):
+    """Normalize user mm_data entries to {type, fname} dicts."""
+    out = []
+    for r in mm_data:
+        if isinstance(r, dict):
+            out.append(r)
+        else:
+            t = "audio" if str(r).endswith((".wav", ".mp3", ".flac")) else "image"
+            out.append({"type": t, "fname": r})
+    return out

@@ -1,0 +1,151 @@
+"""Multimodal LLM layer: splice semantics, losses, generation loop,
+conversation templates, tokenizer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instructany2pix_tpu.llm import constants as C
+from instructany2pix_tpu.llm import generate as gen_lib
+from instructany2pix_tpu.llm import multimodal as mm
+from instructany2pix_tpu.llm.conversation import conv_templates
+from instructany2pix_tpu.llm.tokenizer import ByteTokenizer, initialize_vision_tokenizer
+from instructany2pix_tpu.models import llama
+
+
+def test_vicuna_v1_prompt_format():
+    conv = conv_templates["vicuna_v1"].copy()
+    conv.append_message(conv.roles[0], "add <video> to <video>")
+    conv.append_message(conv.roles[1], None)
+    p = conv.get_prompt()
+    assert p.startswith("A chat between a curious user")
+    assert p.endswith("USER: add <video> to <video> ASSISTANT:")
+
+
+def test_byte_tokenizer_roundtrip_and_specials():
+    tok = ByteTokenizer()
+    ids = initialize_vision_tokenizer(tok)
+    assert len(ids) == 9
+    text = "edit <video> please <im_gen> done"
+    enc = tok.encode(text, add_special_tokens=False)
+    assert ids["<video>"] in enc and ids["<im_gen>"] in enc
+    assert tok.decode(enc) == text
+    # ids are stable and beyond the byte range
+    assert min(ids.values()) == 259
+
+
+def test_splice_replaces_video_positions(rng):
+    tok = ByteTokenizer()
+    tok_ids = initialize_vision_tokenizer(tok)
+    cfg = mm.Any2PixLMConfig.tiny(tok_ids)
+    params = mm.init(rng, cfg)
+    vid = cfg.video_token_id
+    ids = jnp.asarray([[1, 7, vid, 9, vid, 11]])
+    data = jax.random.normal(jax.random.key(1), (2, cfg.image_codec_dim))
+    types = jnp.array([C.REPLACEMENT_TYPE.INPUT, C.REPLACEMENT_TYPE.INPUT])
+    emb = mm.splice_input_embeds(params, cfg, ids, data, types)
+    plain = llama.embed(params["llama"], ids)
+    # non-video positions untouched
+    np.testing.assert_allclose(np.asarray(emb[0, 0]), np.asarray(plain[0, 0]))
+    np.testing.assert_allclose(np.asarray(emb[0, 3]), np.asarray(plain[0, 3]))
+    # video positions replaced with the projector output, in order
+    proj = mm._projector(params["vae_projector_image"], data)
+    np.testing.assert_allclose(np.asarray(emb[0, 2]), np.asarray(proj[0]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(emb[0, 4]), np.asarray(proj[1]), rtol=1e-5)
+    # BASE-type rows are NOT spliced (only INPUT)
+    types2 = jnp.array([C.REPLACEMENT_TYPE.BASE, C.REPLACEMENT_TYPE.INPUT])
+    emb2 = mm.splice_input_embeds(params, cfg, ids, data, types2)
+    np.testing.assert_allclose(np.asarray(emb2[0, 2]), np.asarray(plain[0, 2]))
+
+
+def test_train_forward_losses_and_grads(rng):
+    cfg = mm.Any2PixLMConfig.tiny()
+    params = mm.init(rng, cfg)
+    b, s = 2, 10
+    rs = np.random.RandomState(0)
+    ids = rs.randint(3, 250, (b, s))
+    ids[0, 4] = cfg.im_gen_token_id
+    ids[1, 6] = cfg.video_token_id
+    labels = ids.copy()
+    labels[:, :3] = C.IGNORE_INDEX
+    gen_mask = ids == cfg.im_gen_token_id
+    rep_type = np.full((b, s), -1)
+    rep_type[1, 6] = C.REPLACEMENT_TYPE.BASE
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "attention_mask": jnp.ones((b, s), bool),
+        "replacement_data": jnp.asarray(
+            rs.randn(b, s, cfg.image_codec_dim), jnp.float32
+        ),
+        "replacement_type": jnp.asarray(rep_type),
+        "gen_target_image": jnp.asarray(
+            rs.randn(b, s, cfg.image_codec_dim), jnp.float32
+        ),
+        "gen_mask_image": jnp.asarray(gen_mask),
+    }
+
+    def loss_fn(p):
+        loss, ind = mm.train_forward(p, cfg, batch)
+        return loss, ind
+
+    (loss, ind), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert {"loss_lang", "loss_img", "loss_extra"} <= set(ind)
+    # every head that participates gets gradient signal
+    for head in ["vae_projector_image", "vae_predictor_image"]:
+        gmax = max(
+            float(jnp.abs(g).max()) for g in jax.tree.leaves(grads[head])
+        )
+        assert gmax > 0, head
+    # loss_img uses MSE×dim semantics: scale target up → loss grows ~quadratically
+    batch2 = dict(batch)
+    batch2["gen_target_image"] = batch["gen_target_image"] * 3.0
+    _, ind2 = mm.train_forward(params, cfg, batch2)
+    assert float(ind2["loss_img"]) > float(ind["loss_img"])
+
+
+def test_generate_greedy_matches_full_forward(rng):
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init(rng, cfg)
+    ids = jnp.asarray([[1, 5, 9, 20]])
+    emb = llama.embed(params, ids)
+    res = gen_lib.generate(
+        params, cfg, emb, jax.random.key(0), max_new_tokens=6, temperature=0.0,
+        eos_id=2, max_len=16,
+    )
+    # reference: repeated full forwards, greedy
+    cur = ids
+    expect = []
+    for _ in range(6):
+        out = llama.forward(params, cfg, input_ids=cur)
+        nxt = int(jnp.argmax(out["logits"][0, -1]))
+        expect.append(nxt)
+        cur = jnp.concatenate([cur, jnp.asarray([[nxt]])], axis=1)
+        if nxt == 2:
+            break
+    got = list(np.asarray(res.tokens[0, : len(expect)]))
+    assert got == expect
+    # hidden capture: hiddens[i] is the state that predicted tokens[i]
+    out0 = llama.forward(params, cfg, input_ids=ids)
+    np.testing.assert_allclose(
+        np.asarray(res.hiddens[0, 0]),
+        np.asarray(out0["hidden_norm"][0, -1]),
+        atol=2e-4, rtol=1e-3,
+    )
+
+
+def test_generate_stops_at_eos(rng):
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init(rng, cfg)
+    ids = jnp.asarray([[1, 5]])
+    # use the model's own greedy first token as the "eos" id so the very
+    # first sampled token triggers stopping
+    first = int(jnp.argmax(llama.forward(params, cfg, input_ids=ids)["logits"][0, -1]))
+    emb = llama.embed(params, ids)
+    res = gen_lib.generate(
+        params, cfg, emb, jax.random.key(0), max_new_tokens=8, temperature=0.0,
+        eos_id=first, max_len=16,
+    )
+    assert int(res.done_at[0]) == 0
+    assert np.all(np.asarray(res.tokens[0]) == first)

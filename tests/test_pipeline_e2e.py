@@ -1,0 +1,86 @@
+"""End-to-end tiny-config pipeline test — the CI smoke recommended by
+SURVEY.md §4 (the reference ships no equivalent)."""
+
+import numpy as np
+import pytest
+
+from instructany2pix_tpu.pipeline import (
+    InstructAny2PixPipeline,
+    preprocess_mm_data,
+)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return InstructAny2PixPipeline(tiny=True, seed=0)
+
+
+@pytest.fixture(scope="module")
+def media(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("media")
+    rs = np.random.RandomState(0)
+    p1 = str(d / "img1.png")
+    Image.fromarray(rs.randint(0, 255, (96, 80, 3), np.uint8)).save(p1)
+    # audio as precomputed embedding (the npz feature path)
+    return [
+        {"type": "image", "fname": p1},
+        {"type": "audio", "fname": "a.wav", "embed": rs.randn(16).astype(np.float32)},
+    ]
+
+
+def test_forward_llm_returns_contract(pipe, media):
+    out = pipe.forward_llm("add <video> to <video>", media)
+    image_embeds, base_embed, caption, base_path, extra = out
+    # random tiny model may or may not emit <im_gen>; both contract
+    # branches are valid (reference pipeline.py:217-221)
+    assert isinstance(caption, str)
+    if image_embeds is not None:
+        assert image_embeds.shape[-1] == pipe.cfg.llm.image_codec_dim
+        assert base_path == media[0]["fname"] or base_path == "a.wav"
+        assert "all_objs" in extra
+
+
+def test_full_edit_runs_e2e(pipe, media):
+    non_refined, refined, msg = pipe(
+        "add <video> to <video>",
+        media,
+        num_inference_steps=2,
+        refinement=0.5,
+        seed=0,
+    )
+    if non_refined is None:
+        pytest.skip("tiny random LLM did not emit <im_gen> this seed")
+    assert non_refined.shape == (pipe.cfg.image_size, pipe.cfg.image_size, 3)
+    assert refined.shape == non_refined.shape
+    assert msg == "SUCCESS!"
+
+
+def test_full_edit_debug_dict(pipe, media):
+    out = pipe(
+        "add <video> to <video>", media, num_inference_steps=2, refinement=0.0,
+        debug=True, seed=1, use_cache=True,
+    )
+    non_refined, refined, msg = out
+    if non_refined is None:
+        pytest.skip("no gen token")
+    assert set(msg) >= {"output_caption", "latent_inv", "latent_la", "base_embed", "y"}
+
+
+def test_llm_only_returns_caption(pipe, media):
+    a, b, caption = pipe("describe <video>", media, llm_only=True)
+    assert a is None and b is None and isinstance(caption, str)
+
+
+def test_preprocess_mm_data():
+    out = preprocess_mm_data(["x.png", "y.wav", {"type": "image", "fname": "z.jpg"}])
+    assert out[0] == {"type": "image", "fname": "x.png"}
+    assert out[1] == {"type": "audio", "fname": "y.wav"}
+    assert out[2]["fname"] == "z.jpg"
+
+
+def test_get_all_objs():
+    s = "a photo [a dog and a cat] additions:dog:<video>.cat:<video>.</s>"
+    objs = InstructAny2PixPipeline.get_all_objs(s)
+    assert objs == ["dog", ".cat"] or objs == ["dog", "cat"]
