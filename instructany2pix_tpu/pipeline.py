@@ -373,8 +373,12 @@ class InstructAny2PixPipeline:
 
     def _encode_sdxl_prompt(self, prompt: str):
         c = self.cfg
-        ids1 = _tokenize_pad(self.tokenizer, prompt, 77, c.text1.eos_token_id)
-        ids2 = _tokenize_pad(self.tokenizer, prompt, 77, c.text2.eos_token_id)
+        ids1 = _tokenize_pad(
+            self.tokenizer, prompt, c.text1.max_positions, c.text1.eos_token_id
+        )
+        ids2 = _tokenize_pad(
+            self.tokenizer, prompt, c.text2.max_positions, c.text2.eos_token_id
+        )
         return sampler_lib.encode_prompt_sdxl(
             self.params["text1"], c.text1, self.params["text2"], c.text2,
             jnp.asarray(ids1), jnp.asarray(ids2),
@@ -475,11 +479,15 @@ class InstructAny2PixPipeline:
         # refiner (reference pipeline.py:358-359)
         if refinement > 0:
             rprompt = output_caption + ",high quality,well-formed,award-winning"
-            ids2 = _tokenize_pad(self.tokenizer, rprompt, 77, c.text2.eos_token_id)
+            ids2 = _tokenize_pad(
+                self.tokenizer, rprompt, c.text2.max_positions, c.text2.eos_token_id
+            )
             o2 = clip_lib.text_apply(self.params["text2"], jnp.asarray(ids2), c.text2)
             rctx = o2["hidden_states"][-2]
             rpooled = o2.get("text_embeds", o2["pooled"])
-            ids2n = _tokenize_pad(self.tokenizer, "", 77, c.text2.eos_token_id)
+            ids2n = _tokenize_pad(
+                self.tokenizer, "", c.text2.max_positions, c.text2.eos_token_id
+            )
             o2n = clip_lib.text_apply(self.params["text2"], jnp.asarray(ids2n), c.text2)
             # refiner time ids include the aesthetic score as 5th entry
             rtid = jnp.asarray(
