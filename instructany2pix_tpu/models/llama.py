@@ -41,6 +41,8 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
     tie_embeddings: bool = False
+    remat: bool = False  # jax.checkpoint each block (reference grad
+    # checkpointing, train.py:789-795 / scripts/train.sh:46)
 
     @property
     def head_dim(self) -> int:
@@ -199,7 +201,12 @@ def forward(
             new_k.append(ck)
             new_v.append(cv)
         else:
-            x, _ = _block(params[f"layer_{i}"], x, positions, cfg, attention_mask)
+            if cfg.remat:
+                x, _ = jax.checkpoint(
+                    lambda p, x: _block(p, x, positions, cfg, attention_mask)
+                )(params[f"layer_{i}"], x)
+            else:
+                x, _ = _block(params[f"layer_{i}"], x, positions, cfg, attention_mask)
     hidden = x
     hidden_norm = L.rms_norm(params["final_norm"], x, cfg.rms_eps)
     if cfg.tie_embeddings:

@@ -48,6 +48,7 @@ from .diffusion import ip_adapter as ipa
 from .diffusion import sampler as sampler_lib
 from .diffusion.schedulers import Schedule, SchedulerConfig
 from .grounding import lib as grounding_lib
+from .utils.profiling import stage
 from .llm import constants as C
 from .llm import generate as gen_lib
 from .llm import multimodal as mm_lib
@@ -239,7 +240,8 @@ class InstructAny2PixPipeline:
         if use_cache and self.cache is not None:
             return self.cache
 
-        embeds = [self._embed_media(r) for r in mm_data]
+        with stage("imagebind_encode"):
+            embeds = [self._embed_media(r) for r in mm_data]
         aux_info = (
             jnp.concatenate(embeds, axis=0)
             if embeds
@@ -262,15 +264,16 @@ class InstructAny2PixPipeline:
             self.params["llm"], self.cfg.llm, jnp.asarray(input_ids), aux_info, types
         )
         eos_id = getattr(self.tokenizer, "eos_token_id", 2)
-        result = gen_lib.generate(
-            self.params["llm"]["llama"],
-            self.cfg.llm.llama,
-            inputs_embeds,
-            jax.random.key(np.random.randint(0, 2**31)),
-            max_new_tokens=100,
-            temperature=0.3,
-            eos_id=eos_id,
-        )
+        with stage("llm_generate"):
+            result = gen_lib.generate(
+                self.params["llm"]["llama"],
+                self.cfg.llm.llama,
+                inputs_embeds,
+                jax.random.key(np.random.randint(0, 2**31)),
+                max_new_tokens=100,
+                temperature=0.3,
+                eos_id=eos_id,
+            )
         n_out = min(int(result.done_at[0]) + 1, result.tokens.shape[1])
         out_seq = np.asarray(result.tokens[0, :n_out])
         hiddens = result.hiddens[0, :n_out]
@@ -434,11 +437,12 @@ class InstructAny2PixPipeline:
         # prior refinement (reference pipeline.py:313-317)
         th, tm = self._encode_prior_text("")
         src = image_embeds / (jnp.linalg.norm(image_embeds) + 1e-9) * 100.0
-        y = prior_lib.generate_diffusion(
-            self.params["prior"], c.prior, MODALITY.VIDEO, MODALITY.IMAGE,
-            src.reshape(1, -1), th, tm,
-            guidance_scale=10.0, score=6.5, no_diffusion=True,
-        )[:, 0]
+        with stage("prior"):
+            y = prior_lib.generate_diffusion(
+                self.params["prior"], c.prior, MODALITY.VIDEO, MODALITY.IMAGE,
+                src.reshape(1, -1), th, tm,
+                guidance_scale=10.0, score=6.5, no_diffusion=True,
+            )[:, 0]
 
         img_base = self.load_base_img(base_img_path)
 
@@ -452,10 +456,12 @@ class InstructAny2PixPipeline:
         src_lat = vae_lib.encode(self.params["vae"], x, key=kc(), cfg=c.vae)
         ctx_null, pooled_null = self._encode_sdxl_prompt("")
         tid = sampler_lib.default_time_ids(c.image_size, c.image_size, 1)
-        latent_inv = sampler_lib.ddim_invert(
-            self.params["unet"], c.unet, self.schedule, src_lat,
-            ctx_null, pooled_null, tid, num_inference_steps=num_inference_steps,
-        )
+        with stage("ddim_inversion"):
+            latent_inv = sampler_lib.ddim_invert(
+                self.params["unet"], c.unet, self.schedule, src_lat,
+                ctx_null, pooled_null, tid,
+                num_inference_steps=num_inference_steps,
+            )
         latent_inv = sampler_lib.polar_interpolate(
             latent_inv, jax.random.normal(kc(), latent_inv.shape), alpha
         )
@@ -467,12 +473,13 @@ class InstructAny2PixPipeline:
             self.params["image_proj"], c.image_proj,
             clip_image_embeds=latent_la, mode="global",
         )
-        lat = sampler_lib.denoise(
-            self.params["unet"], c.unet, self.schedule, latent_inv,
-            ctx_p, ctx_null, pooled_p, pooled_null, tid,
-            num_inference_steps=num_inference_steps, guidance_scale=cfg,
-            ip_tokens=ip_cond, ip_tokens_uncond=ip_uncond, ip_scale=scale,
-        )
+        with stage("denoise"):
+            lat = sampler_lib.denoise(
+                self.params["unet"], c.unet, self.schedule, latent_inv,
+                ctx_p, ctx_null, pooled_p, pooled_null, tid,
+                num_inference_steps=num_inference_steps, guidance_scale=cfg,
+                ip_tokens=ip_cond, ip_tokens_uncond=ip_uncond, ip_scale=scale,
+            )
         img = vae_lib.decode(self.params["vae"], lat, c.vae)
         non_refined = image_io.from_model_range(np.asarray(img[0]))
 
