@@ -57,17 +57,31 @@ def main():
     out.block_until_ready()
     log(f"compile+first step: {time.perf_counter()-t0:.1f}s")
 
-    # chain iterations through the output so steps cannot overlap —
-    # an un-chained loop over identical dispatches overlaps host
-    # dispatch with device execution and reads ~2x fast
-    n = 20
+    # Timing notes for the axon remote backend: block_until_ready
+    # returns before device execution completes, and deep unsynced
+    # dispatch chains exhaust the relay queue — so sync each step with
+    # a host readback and subtract the measured sync roundtrip.
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    sync(step(params, lat, t, ctx, pooled, tid, ip))  # warm
+    t0 = time.perf_counter()
+    for _ in range(5):
+        sync(lat)
+    t_sync = (time.perf_counter() - t0) / 5
+
+    n = 10
     cur = lat
     t0 = time.perf_counter()
     for _ in range(n):
         cur = step(params, cur, t, ctx, pooled, tid, ip)
-    cur.block_until_ready()
-    step_ms = (time.perf_counter() - t0) / n * 1e3
-    log(f"unet cfg-step (chained): {step_ms:.1f} ms")
+        sync(cur)
+    total = time.perf_counter() - t0
+    step_ms = (total / n - t_sync) * 1e3
+    log(
+        f"unet cfg-step: {step_ms:.2f} ms"
+        f" (sync roundtrip {t_sync * 1e3:.1f} ms, raw {total / n * 1e3:.1f} ms/iter)"
+    )
 
     edit_latency_s = 50 * step_ms / 1e3
     print(

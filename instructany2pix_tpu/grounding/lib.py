@@ -114,6 +114,34 @@ def cosine_fallback_grounder(embed_fn: Callable):
     return grounder
 
 
+def build_segmentator(ckpt_dir: str = "ckpts/gdino"):
+    """Load SAM + GroundingDINO (reference gdino/lib.py:54-67
+    `build_segmentator`): returns (segmentor, grounder). Falls back to
+    the checkpoint-free box/cosine implementations when weights are
+    absent (this environment ships none)."""
+    import os
+
+    sam_path = os.path.join(ckpt_dir, "sam_vit_h_4b8939.pth")
+    dino_path = os.path.join(ckpt_dir, "gdino.pth")
+    if os.path.exists(sam_path) and os.path.exists(dino_path):
+        from . import gdino as gdino_lib
+        from . import sam as sam_lib
+
+        sam_cfg = sam_lib.SAMConfig.vit_h()
+        segmentor = sam_lib.make_segmentor(
+            sam_lib.convert_from_sam(sam_path, sam_cfg), sam_cfg
+        )
+        try:
+            dino_cfg = gdino_lib.GDinoConfig.swint()
+            grounder = gdino_lib.make_grounder(
+                gdino_lib.convert_from_torch(dino_path, dino_cfg), dino_cfg
+            )
+        except NotImplementedError:
+            grounder = cosine_fallback_grounder(None)
+        return segmentor, grounder
+    return box_fill_segmentor, cosine_fallback_grounder(None)
+
+
 def box_fill_segmentor(image: np.ndarray, box_xyxy: np.ndarray) -> np.ndarray:
     """Checkpoint-free segmentor: fill the box (SAM stand-in)."""
     h, w = image.shape[:2]

@@ -436,3 +436,120 @@ def make_segmentor(params, cfg: SAMConfig):
         return predict_box_mask(params, cfg, image, box_xyxy)
 
     return segmentor
+
+
+# -------------------------------------------------------------- converter
+
+
+def convert_from_sam(path_or_sd, cfg: SAMConfig) -> dict:
+    """Import the official SAM checkpoint (sam_vit_h_4b8939.pth naming:
+    image_encoder.* / prompt_encoder.* / mask_decoder.*)."""
+    from ..core import checkpoint as ckpt
+
+    sd = (
+        ckpt.load_torch_state_dict(path_or_sd)
+        if isinstance(path_or_sd, str)
+        else path_or_sd
+    )
+    L_ = ckpt.linear_w
+    C_ = ckpt.conv_w
+    rules = [
+        (r"image_encoder\.patch_embed\.proj\.weight", r"encoder.patch_embed.w", C_),
+        (r"image_encoder\.patch_embed\.proj\.bias", r"encoder.patch_embed.b", None),
+        (r"image_encoder\.pos_embed", r"encoder.pos_embed", None),
+        (r"image_encoder\.blocks\.(\d+)\.norm1\.weight", r"encoder.block_\1.ln1.g", None),
+        (r"image_encoder\.blocks\.(\d+)\.norm1\.bias", r"encoder.block_\1.ln1.b", None),
+        (r"image_encoder\.blocks\.(\d+)\.attn\.qkv\.weight", r"encoder.block_\1.qkv.w", L_),
+        (r"image_encoder\.blocks\.(\d+)\.attn\.qkv\.bias", r"encoder.block_\1.qkv.b", None),
+        (r"image_encoder\.blocks\.(\d+)\.attn\.proj\.weight", r"encoder.block_\1.proj.w", L_),
+        (r"image_encoder\.blocks\.(\d+)\.attn\.proj\.bias", r"encoder.block_\1.proj.b", None),
+        (r"image_encoder\.blocks\.(\d+)\.attn\.rel_pos_h", r"encoder.block_\1.rel_pos_h", None),
+        (r"image_encoder\.blocks\.(\d+)\.attn\.rel_pos_w", r"encoder.block_\1.rel_pos_w", None),
+        (r"image_encoder\.blocks\.(\d+)\.norm2\.weight", r"encoder.block_\1.ln2.g", None),
+        (r"image_encoder\.blocks\.(\d+)\.norm2\.bias", r"encoder.block_\1.ln2.b", None),
+        (r"image_encoder\.blocks\.(\d+)\.mlp\.lin1\.weight", r"encoder.block_\1.fc1.w", L_),
+        (r"image_encoder\.blocks\.(\d+)\.mlp\.lin1\.bias", r"encoder.block_\1.fc1.b", None),
+        (r"image_encoder\.blocks\.(\d+)\.mlp\.lin2\.weight", r"encoder.block_\1.fc2.w", L_),
+        (r"image_encoder\.blocks\.(\d+)\.mlp\.lin2\.bias", r"encoder.block_\1.fc2.b", None),
+        (r"image_encoder\.neck\.0\.weight", r"encoder.neck_conv1.w", C_),
+        (r"image_encoder\.neck\.1\.weight", r"encoder.neck_ln1.g", None),
+        (r"image_encoder\.neck\.1\.bias", r"encoder.neck_ln1.b", None),
+        (r"image_encoder\.neck\.2\.weight", r"encoder.neck_conv2.w", C_),
+        (r"image_encoder\.neck\.3\.weight", r"encoder.neck_ln2.g", None),
+        (r"image_encoder\.neck\.3\.bias", r"encoder.neck_ln2.b", None),
+        (
+            r"prompt_encoder\.pe_layer\.positional_encoding_gaussian_matrix",
+            r"prompt.pe_gaussian",
+            None,
+        ),
+        (r"prompt_encoder\.point_embeddings\.2\.weight", r"prompt.point_embed_0", lambda t: t[0]),
+        (r"prompt_encoder\.point_embeddings\.3\.weight", r"prompt.point_embed_1", lambda t: t[0]),
+        (r"prompt_encoder\.not_a_point_embed\.weight", r"prompt.not_a_point", lambda t: t[0]),
+        (r"prompt_encoder\.no_mask_embed\.weight", r"prompt.no_mask", lambda t: t[0]),
+        (r"prompt_encoder\.point_embeddings\.[01]\.weight", r"__drop__", None),
+        (r"prompt_encoder\.mask_downscaling\..*", r"__drop__", None),
+        (r"mask_decoder\.iou_token\.weight", r"decoder.iou_token", None),
+        (r"mask_decoder\.mask_tokens\.weight", r"decoder.mask_tokens", None),
+    ]
+    for a, b in [
+        ("self_attn", "self_attn"),
+        ("cross_attn_token_to_image", "cross_t2i"),
+        ("cross_attn_image_to_token", "cross_i2t"),
+    ]:
+        for proj, ours in [("q_proj", "q"), ("k_proj", "k"), ("v_proj", "v"), ("out_proj", "o")]:
+            rules.append(
+                (
+                    rf"mask_decoder\.transformer\.layers\.(\d+)\.{a}\.{proj}\.weight",
+                    rf"decoder.layer_\1.{b}.{ours}.w",
+                    L_,
+                )
+            )
+            rules.append(
+                (
+                    rf"mask_decoder\.transformer\.layers\.(\d+)\.{a}\.{proj}\.bias",
+                    rf"decoder.layer_\1.{b}.{ours}.b",
+                    None,
+                )
+            )
+    for i, ours in [(1, "ln1"), (2, "ln2"), (3, "ln3"), (4, "ln4")]:
+        rules.append(
+            (rf"mask_decoder\.transformer\.layers\.(\d+)\.norm{i}\.weight", rf"decoder.layer_\1.{ours}.g", None)
+        )
+        rules.append(
+            (rf"mask_decoder\.transformer\.layers\.(\d+)\.norm{i}\.bias", rf"decoder.layer_\1.{ours}.b", None)
+        )
+    rules += [
+        (r"mask_decoder\.transformer\.layers\.(\d+)\.mlp\.lin1\.weight", r"decoder.layer_\1.fc1.w", L_),
+        (r"mask_decoder\.transformer\.layers\.(\d+)\.mlp\.lin1\.bias", r"decoder.layer_\1.fc1.b", None),
+        (r"mask_decoder\.transformer\.layers\.(\d+)\.mlp\.lin2\.weight", r"decoder.layer_\1.fc2.w", L_),
+        (r"mask_decoder\.transformer\.layers\.(\d+)\.mlp\.lin2\.bias", r"decoder.layer_\1.fc2.b", None),
+    ]
+    for proj, ours in [("q_proj", "q"), ("k_proj", "k"), ("v_proj", "v"), ("out_proj", "o")]:
+        rules.append(
+            (rf"mask_decoder\.transformer\.final_attn_token_to_image\.{proj}\.weight", rf"decoder.final_attn.{ours}.w", L_)
+        )
+        rules.append(
+            (rf"mask_decoder\.transformer\.final_attn_token_to_image\.{proj}\.bias", rf"decoder.final_attn.{ours}.b", None)
+        )
+    rules += [
+        (r"mask_decoder\.transformer\.norm_final_attn\.weight", r"decoder.final_ln.g", None),
+        (r"mask_decoder\.transformer\.norm_final_attn\.bias", r"decoder.final_ln.b", None),
+        # ConvTranspose2d weight (in, out, kh, kw) → ours (kh, kw, out, in)
+        (r"mask_decoder\.output_upscaling\.0\.weight", r"decoder.up_conv1.w",
+         lambda t: np.ascontiguousarray(np.transpose(t, (2, 3, 1, 0)))),
+        (r"mask_decoder\.output_upscaling\.0\.bias", r"decoder.up_conv1.b", None),
+        (r"mask_decoder\.output_upscaling\.1\.weight", r"decoder.up_ln.g", None),
+        (r"mask_decoder\.output_upscaling\.1\.bias", r"decoder.up_ln.b", None),
+        (r"mask_decoder\.output_upscaling\.3\.weight", r"decoder.up_conv2.w",
+         lambda t: np.ascontiguousarray(np.transpose(t, (2, 3, 1, 0)))),
+        (r"mask_decoder\.output_upscaling\.3\.bias", r"decoder.up_conv2.b", None),
+        (r"mask_decoder\.output_hypernetworks_mlps\.(\d+)\.layers\.(\d+)\.weight",
+         r"decoder.hyper_\1.fc\2.w", L_),
+        (r"mask_decoder\.output_hypernetworks_mlps\.(\d+)\.layers\.(\d+)\.bias",
+         r"decoder.hyper_\1.fc\2.b", None),
+        (r"mask_decoder\.iou_prediction_head\.layers\.(\d+)\.weight", r"decoder.iou_head.fc\1.w", L_),
+        (r"mask_decoder\.iou_prediction_head\.layers\.(\d+)\.bias", r"decoder.iou_head.fc\1.b", None),
+    ]
+    tree = ckpt.convert_state_dict(sd, rules, strict=False)
+    tree.pop("__drop__", None)
+    return tree

@@ -109,7 +109,11 @@ def embedding_init(key, vocab, dim, dtype=jnp.float32):
 
 
 def embedding(p, ids):
-    return jnp.take(p["w"], ids, axis=0)
+    # mode="clip": out-of-range ids clamp instead of jnp.take's default
+    # NaN fill — an OOB id is a caller bug, but NaN poisons everything
+    # downstream silently (cost us two debugging rounds), while clamping
+    # keeps outputs finite and assertions closer to the source.
+    return jnp.take(p["w"], ids, axis=0, mode="clip")
 
 
 def timestep_embedding(

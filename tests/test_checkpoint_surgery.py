@@ -1,0 +1,72 @@
+"""Orbax save/restore roundtrip + delta surgery + FSDP sharding specs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from instructany2pix_tpu.core import checkpoint as ckpt_lib
+from instructany2pix_tpu.core.mesh import make_mesh
+from instructany2pix_tpu.core import tree as tree_util
+from instructany2pix_tpu.parallel import sharding as sh
+from instructany2pix_tpu.utils import surgery
+
+
+def test_orbax_roundtrip(tmp_path, rng):
+    from instructany2pix_tpu.models import llama
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init(rng, cfg)
+    path = str(tmp_path / "ckpt")
+    ckpt_lib.save(path, params)
+    restored = ckpt_lib.restore(path, like=params)
+    tree_util.assert_trees_close(params, restored)
+
+
+def test_delta_roundtrip_with_resized_embeddings():
+    rs = np.random.RandomState(0)
+    base = {"embed": {"w": rs.randn(10, 4).astype(np.float32)},
+            "layer": {"w": rs.randn(4, 4).astype(np.float32)}}
+    fine = {"embed": {"w": rs.randn(13, 4).astype(np.float32)},  # +3 tokens
+            "layer": {"w": rs.randn(4, 4).astype(np.float32)}}
+    delta = surgery.make_delta(fine, base)
+    merged = surgery.apply_delta(delta, base)
+    tree_util.assert_trees_close(merged, fine)
+
+
+def test_torch_statedict_rule_engine(tmp_path):
+    import torch
+
+    sd = {"a.weight": torch.randn(3, 5), "a.bias": torch.randn(3)}
+    p = tmp_path / "m.bin"
+    torch.save(sd, p)
+    loaded = ckpt_lib.load_torch_state_dict(str(p))
+    tree = ckpt_lib.convert_state_dict(
+        loaded,
+        [(r"a\.weight", r"a.w", ckpt_lib.linear_w), (r"a\.bias", r"a.b", None)],
+    )
+    assert tree["a"]["w"].shape == (5, 3)
+    np.testing.assert_allclose(tree["a"]["w"], loaded["a.weight"].T)
+
+
+def test_fsdp_specs_shard_large_replicate_small(mesh8):
+    big = jnp.zeros((64, 128))
+    tiny = jnp.zeros((4,))
+    spec_big = sh.fsdp_spec(big.shape, mesh8)
+    spec_tiny = sh.fsdp_spec(tiny.shape, mesh8, min_size=1024)
+    assert spec_big != jax.sharding.PartitionSpec()
+    assert spec_tiny == jax.sharding.PartitionSpec()
+    sharded = sh.shard_params_fsdp({"w": big}, mesh8, min_size=16)
+    assert not sharded["w"].sharding.is_fully_replicated
+
+
+def test_tp_rules_llama(mesh8, rng):
+    from instructany2pix_tpu.models import llama
+
+    params = llama.init(rng, llama.LlamaConfig.tiny())
+    sharded = sh.apply_tp_rules(params, mesh8, sh.LLAMA_TP_RULES)
+    flat = tree_util.flatten(sharded)
+    # column-parallel q: output dim sharded over model axis
+    q = flat["layer_0.q.w"]
+    assert "model" in str(q.sharding.spec)
+    # norms replicated
+    assert flat["layer_0.input_norm.g"].sharding.is_fully_replicated
