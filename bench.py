@@ -30,8 +30,11 @@ def main():
     log("initializing SDXL UNet params (bf16)...")
     t0 = time.perf_counter()
     params = unet_lib.init(jax.random.key(0), cfg)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    jax.block_until_ready(params)
+    # cast per-subtree so the fp32 and bf16 trees never coexist in HBM
+    # (2.9B params: 11.6 GB fp32 + 5.8 GB bf16 would overflow the chip)
+    for k in list(params):
+        params[k] = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params[k])
+        jax.block_until_ready(params[k])
     from instructany2pix_tpu.core.tree import param_count
 
     log(f"params: {param_count(params)/1e9:.2f}B in {time.perf_counter()-t0:.1f}s")
