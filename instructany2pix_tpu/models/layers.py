@@ -35,9 +35,26 @@ def linear(p, x, compute_dtype=None):
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     y = x @ w
+    if "lora_a" in p:
+        # low-rank adapter: y += (x @ A) @ B · (alpha/r) — the PEFT/LoRA
+        # path of reference train.py:814-831, fused into the primitive
+        # so any linear in any model is adaptable
+        scale = p.get("lora_scale", jnp.ones((), y.dtype))
+        y = y + ((x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)) * scale
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y
+
+
+def add_lora(p, key, rank: int = 8, alpha: float = 16.0):
+    """Attach zero-initialized LoRA factors to a linear's param dict."""
+    in_dim, out_dim = p["w"].shape
+    return {
+        **p,
+        "lora_a": jax.random.normal(key, (in_dim, rank), p["w"].dtype) * (1.0 / in_dim**0.5),
+        "lora_b": jnp.zeros((rank, out_dim), p["w"].dtype),
+        "lora_scale": jnp.asarray(alpha / rank, p["w"].dtype),
+    }
 
 
 # ----------------------------------------------------------------- norms
