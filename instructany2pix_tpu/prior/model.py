@@ -305,3 +305,30 @@ def train_forward(
     shifted = h[:, -1 - tlen : -1]
     loss = jnp.mean(jnp.abs(shifted.astype(jnp.float32) - target.astype(jnp.float32)))
     return loss
+
+
+def generate(params, cfg: PriorConfig, cond: Dict[str, jax.Array]):
+    """Plain AR generation, no diffusion (reference prior/model.py:474-507):
+    assemble the conditioning prompt and decode sequence_gen_length
+    continuous tokens."""
+    emb, mask = assemble_sequence(params, cfg, cond)
+    out = _ar_decode(params, cfg, emb, mask, cfg.sequence_gen_length)
+    return _project_out(params, out)
+
+
+def generate_partial(
+    params, cfg: PriorConfig, cond: Dict[str, jax.Array], target: jax.Array
+):
+    """In-context partial generation (reference prior/model.py:422-472):
+    prefix the first quarter of the target sequence, decode the rest."""
+    emb, mask = assemble_sequence(params, cfg, cond)
+    t = target.shape[1]
+    prefix = target[:, : t // 4]
+    emb = jnp.concatenate([emb, prefix], axis=1)
+    mask = jnp.concatenate(
+        [mask, jnp.ones((mask.shape[0], prefix.shape[1]), mask.dtype)], axis=1
+    )
+    end = emb.shape[1] - prefix.shape[1]
+    out = _ar_decode(params, cfg, emb, mask, max(3 * t // 4, 1))
+    full = jnp.concatenate([prefix, out], axis=1)
+    return _project_out(params, full)
