@@ -52,11 +52,10 @@ from .utils.profiling import stage
 from .llm import constants as C
 from .llm import generate as gen_lib
 from .llm import multimodal as mm_lib
-from .llm.conversation import SeparatorStyle, conv_templates
+from .llm.conversation import conv_templates
 from .llm.tokenizer import initialize_vision_tokenizer, load_tokenizer
 from .models import clip as clip_lib
 from .models import imagebind as imagebind_lib
-from .models import llama as llama_lib
 from .models import unet as unet_lib
 from .models import vae as vae_lib
 from .prior import model as prior_lib
