@@ -46,7 +46,12 @@ def dot_product_attention(
 
     impl: "auto" | "flash" | "xla".  "auto" uses the Pallas kernel on
     TPU for long sequences with no arbitrary mask; otherwise XLA.
+    The IA2P_ATTN_IMPL env var overrides "auto" (benchmark A/B knob).
     """
+    if impl == "auto":
+        import os
+
+        impl = os.environ.get("IA2P_ATTN_IMPL", "auto")
     b, sq, h, d = q.shape
     sk = k.shape[1]
     scale = scale if scale is not None else d**-0.5
