@@ -140,7 +140,54 @@ def load_pipeline_params(cfg, ckpt: str, llm_folder: str) -> Dict[str, Any]:
     )
     params["image_proj"] = ip["image_proj"]
     params["unet"] = unet_convert.merge_ip_weights(params["unet"], ip["ip_attn"])
-    raise NotImplementedError(
-        "ImageBind converter pending (models/imagebind.convert_from_imagebind); "
-        "all other components loaded"
-    )
+
+    from .models import imagebind as ib
+
+    ib_sd = ckpt_lib.load_torch_state_dict(os.path.join(ckpt, "imagebind_huge.pth"))
+    params["imagebind_vision"] = ib.convert_from_imagebind(ib_sd, "vision")
+    params["imagebind_audio"] = ib.convert_from_imagebind(ib_sd, "audio")
+    return params
+
+
+def load_pretrained_model(
+    model_path: str,
+    model_base: str | None = None,
+    load_lora: bool = False,
+    projector_only: bool = False,
+):
+    """Rebuild of reference llm/model/builder.py:26-136
+    `load_pretrained_model`: three load modes for the multimodal LM —
+      * full finetune dir (default);
+      * LoRA adapters over a base (merge on load);
+      * projector-only delta over a base (tune_mm_mlp_adapter runs).
+    Returns (params, tokenizer, token_ids).
+    """
+    from .llm.tokenizer import initialize_vision_tokenizer, load_tokenizer
+
+    tokenizer = load_tokenizer(os.path.join(model_path, "tokenizer"))
+    token_ids = initialize_vision_tokenizer(tokenizer)
+    if projector_only:
+        assert model_base, "projector-only load needs --model-base"
+        params = load_llm(model_base)
+        heads = load_llm(model_path)  # dir holding only projector weights
+        for k in (
+            "vae_projector_image",
+            "vae_projector_audio",
+            "vae_predictor_image",
+            "vae_predictor_audio",
+        ):
+            if k in heads:
+                params[k] = heads[k]
+        return params, tokenizer, token_ids
+    if load_lora:
+        assert model_base, "LoRA load needs --model-base"
+        from .core import checkpoint as _ckpt
+        from .core import tree as _tree
+        from .train import lora as _lora
+
+        params = load_llm(model_base)
+        adapters = _ckpt.restore(os.path.join(model_path, "adapters"))
+        flat = _tree.flatten(params)
+        flat.update(_tree.flatten(adapters))
+        return _lora.merge_lora(_tree.unflatten(flat)), tokenizer, token_ids
+    return load_llm(model_path), tokenizer, token_ids

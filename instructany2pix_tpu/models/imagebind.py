@@ -41,6 +41,13 @@ class ViTConfig:
     out_dim: int = 1024
     mlp_ratio: float = 4.0
     pre_ln: bool = True
+    stride: Optional[int] = None  # != patch → overlapping patches (audio)
+    normalize_out: bool = True  # L2-normalize joint-space embedding
+    out_scale: float = 1.0  # audio postprocessor logit scale (20.0)
+
+    @property
+    def eff_stride(self) -> int:
+        return self.stride or self.patch
 
     @staticmethod
     def imagebind_vision() -> "ViTConfig":
@@ -48,9 +55,11 @@ class ViTConfig:
 
     @staticmethod
     def imagebind_audio() -> "ViTConfig":
-        # audio trunk: ViT-B/16 over 128×204 mel "images", 1 channel
+        # audio trunk: ViT-B/16 over 128×204 mel "images", 1 channel,
+        # stride-10 overlapping patches, ×20 learned logit scale
         return ViTConfig(
-            width=768, layers=12, heads=12, patch=16, image_size=0, in_channels=1
+            width=768, layers=12, heads=12, patch=16, image_size=0,
+            in_channels=1, stride=10, out_scale=20.0,
         )
 
     @staticmethod
@@ -115,10 +124,12 @@ def apply(params, x: jax.Array, cfg: ViTConfig) -> jax.Array:
     h = jax.lax.conv_general_dilated(
         x,
         params["patch_embed"]["w"].astype(x.dtype),
-        window_strides=(cfg.patch, cfg.patch),
+        window_strides=(cfg.eff_stride, cfg.eff_stride),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ).reshape(b, -1, cfg.width)
+    if "patch_norm" in params:  # audio stem LayerNorm
+        h = L.layer_norm(params["patch_norm"], h)
     cls = jnp.broadcast_to(params["cls_token"].astype(h.dtype), (b, 1, cfg.width))
     h = jnp.concatenate([cls, h], axis=1)
     assert h.shape[1] == params["pos_embed"].shape[1], (
@@ -132,7 +143,10 @@ def apply(params, x: jax.Array, cfg: ViTConfig) -> jax.Array:
         h = _block(params[f"block_{i}"], h, cfg.heads)
     pooled = h[:, 0]
     pooled = L.layer_norm(params["head_ln"], pooled)
-    return L.linear(params["head_proj"], pooled)
+    out = L.linear(params["head_proj"], pooled)
+    if cfg.normalize_out:
+        out = out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-9)
+    return out * cfg.out_scale
 
 
 # -------------------------------------------------------------- frontends
@@ -189,3 +203,80 @@ def embed_audio(params, cfg: ViTConfig, wav: np.ndarray, sr: int = 16000) -> jax
     clips = jnp.asarray(preprocess_audio(wav, sr))
     emb = apply(params, clips, cfg)
     return jnp.mean(emb, axis=0, keepdims=True)
+
+
+# ------------------------------------------------------------- converter
+
+
+def convert_from_imagebind(path_or_sd, modality: str = "vision"):
+    """Import the official imagebind_huge.pth naming for one modality.
+
+    Key structure (facebookresearch/ImageBind):
+      modality_preprocessors.<m>.cls_token / pos_embedding_helper.pos_embed
+      modality_preprocessors.vision.rgbt_stem.proj.1.weight  (Conv3d over
+        2 duplicated frames → temporal kernel summed into a 2D conv)
+      modality_preprocessors.audio.audio_stem.proj.1.weight (+ norm_layer)
+      modality_trunks.<m>.pre_transformer_layer.0.{weight,bias}
+      modality_trunks.<m>.blocks.{i}.attn.in_proj_{weight,bias} /
+        attn.out_proj.* / norm_1.* / norm_2.* / mlp.fc1/fc2.*
+      modality_heads.<m>.0 (LayerNorm) / .2 (Linear, no bias)
+    """
+    from ..core import checkpoint as ckpt
+
+    sd = (
+        ckpt.load_torch_state_dict(path_or_sd)
+        if isinstance(path_or_sd, str)
+        else path_or_sd
+    )
+    m = modality
+    pre = f"modality_preprocessors.{m}"
+    trunk = f"modality_trunks.{m}"
+    head = f"modality_heads.{m}"
+    out = {}
+
+    if m == "vision":
+        w3d = sd[f"{pre}.rgbt_stem.proj.1.weight"]  # (D, 3, T, 14, 14)
+        w2d = w3d.sum(axis=2)  # identical duplicated frames → sum T
+        out["patch_embed"] = {"w": np.ascontiguousarray(np.transpose(w2d, (2, 3, 1, 0)))}
+    else:
+        w = sd[f"{pre}.audio_stem.proj.1.weight"]  # (D, 1, 16, 16)
+        out["patch_embed"] = {"w": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))}
+        if f"{pre}.audio_stem.norm_layer.weight" in sd:
+            out["patch_norm"] = {
+                "g": sd[f"{pre}.audio_stem.norm_layer.weight"],
+                "b": sd[f"{pre}.audio_stem.norm_layer.bias"],
+            }
+    out["cls_token"] = sd[f"{pre}.cls_token"].reshape(1, 1, -1)
+    out["pos_embed"] = sd[f"{pre}.pos_embedding_helper.pos_embed"]
+    if f"{trunk}.pre_transformer_layer.0.weight" in sd:
+        out["pre_ln"] = {
+            "g": sd[f"{trunk}.pre_transformer_layer.0.weight"],
+            "b": sd[f"{trunk}.pre_transformer_layer.0.bias"],
+        }
+    i = 0
+    while f"{trunk}.blocks.{i}.norm_1.weight" in sd:
+        b = f"{trunk}.blocks.{i}"
+        out[f"block_{i}"] = {
+            "ln1": {"g": sd[f"{b}.norm_1.weight"], "b": sd[f"{b}.norm_1.bias"]},
+            "qkv": {
+                "w": ckpt.linear_w(sd[f"{b}.attn.in_proj_weight"]),
+                "b": sd[f"{b}.attn.in_proj_bias"],
+            },
+            "proj": {
+                "w": ckpt.linear_w(sd[f"{b}.attn.out_proj.weight"]),
+                "b": sd[f"{b}.attn.out_proj.bias"],
+            },
+            "ln2": {"g": sd[f"{b}.norm_2.weight"], "b": sd[f"{b}.norm_2.bias"]},
+            "fc1": {
+                "w": ckpt.linear_w(sd[f"{b}.mlp.fc1.weight"]),
+                "b": sd[f"{b}.mlp.fc1.bias"],
+            },
+            "fc2": {
+                "w": ckpt.linear_w(sd[f"{b}.mlp.fc2.weight"]),
+                "b": sd[f"{b}.mlp.fc2.bias"],
+            },
+        }
+        i += 1
+    out["head_ln"] = {"g": sd[f"{head}.0.weight"], "b": sd[f"{head}.0.bias"]}
+    out["head_proj"] = {"w": ckpt.linear_w(sd[f"{head}.2.weight"])}
+    return out

@@ -135,6 +135,13 @@ class PipelineConfig:
         )
 
 
+def _audio_patches(cfg, mel_bins: int = 128, frames: int = 204) -> int:
+    """Patch count of the audio ViT over the mel grid (stride may
+    overlap, ImageBind uses kernel 16 / stride 10)."""
+    s, p = cfg.eff_stride, cfg.patch
+    return ((mel_bins - p) // s + 1) * ((frames - p) // s + 1)
+
+
 def _tokenize_pad(tok, text: str, length: int = 77, eos: Optional[int] = None):
     ids = tok.encode(text) if hasattr(tok, "encode") else tok(text).input_ids
     ids = list(ids)[:length]
@@ -202,7 +209,7 @@ class InstructAny2PixPipeline:
             "image_proj": ipa.init(kc(), c.image_proj),
             "imagebind_vision": imagebind_lib.init(kc(), c.imagebind_vision),
             "imagebind_audio": imagebind_lib.init(
-                kc(), c.imagebind_audio, num_patches=(128 // 16) * (204 // 16)
+                kc(), c.imagebind_audio, num_patches=_audio_patches(c.imagebind_audio)
             ),
         }
 
