@@ -34,7 +34,7 @@ NEG_INF = -1e30
 
 
 def _flash_fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, *, block_k, causal, scale, seq_q, seq_k
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k, causal, scale, seq_q, seq_k
 ):
     # q_ref: (1, block_q, d) for one (b, h, q-block); k/v_ref: (1, seq_k, d)
     block_q = q_ref.shape[1]
@@ -82,6 +82,8 @@ def _flash_fwd_kernel(
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    # logsumexp per row — saved for the Pallas backward recompute
+    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _pad_to(x, size, axis):
@@ -93,7 +95,8 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _flash_fwd(q, k, v, causal, scale, block_q, block_k, interpret=False):
+def _flash_fwd(q, k, v, causal, scale, block_q, block_k, interpret=False,
+               return_lse=False):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     block_q = min(block_q, _round_up(sq, 128))
@@ -119,11 +122,20 @@ def _flash_fwd(q, k, v, causal, scale, block_q, block_k, interpret=False):
             pl.BlockSpec((1, sk_p, d), lambda bh, i: (bh, 0, 0)),
             pl.BlockSpec((1, sk_p, d), lambda bh, i: (bh, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq_p, 1), jnp.float32),
+        ),
         interpret=interpret,
     )(qp, kp, vp)
-    return out.reshape(b, h, sq_p, d)[:, :, :sq, :]
+    o = out[0].reshape(b, h, sq_p, d)[:, :, :sq, :]
+    if return_lse:
+        return o, out[1].reshape(b, h, sq_p)[:, :, :sq]
+    return o
 
 
 def _round_up(x, m):
@@ -165,6 +177,172 @@ def _bwd_recompute(q, k, v, o, g, causal, scale):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
+
+
+# ----------------------------------------------------------- pallas bwd
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref,
+    *, block_k, causal, scale, seq_q, seq_k,
+):
+    block_q = q_ref.shape[1]
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # (block_q, 1)
+    delta = delta_ref[0]
+    causal_offset = seq_k - seq_q
+
+    num_kb = pl.cdiv(seq_k, block_k)
+    if causal:
+        q_end = (qi + 1) * block_q + causal_offset
+        num_kb = jnp.minimum(num_kb, pl.cdiv(q_end, block_k))
+
+    def body(kb, dq):
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = col < seq_k
+        if causal:
+            row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            valid = jnp.logical_and(valid, col <= row + causal_offset)
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            g, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        return dq + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros_like(q))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, block_q, causal, scale, seq_q, seq_k,
+):
+    block_k = k_ref.shape[1]
+    ki = pl.program_id(1)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    causal_offset = seq_k - seq_q
+
+    num_qb = pl.cdiv(seq_q, block_q)
+    if causal:
+        # first q row that can see this k block: row >= k_start - offset
+        q_start = jnp.maximum(ki * block_k - causal_offset, 0)
+        qb0 = q_start // block_q
+    else:
+        qb0 = 0
+
+    def body(qb, carry):
+        dk, dv = carry
+        q_blk = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        g_blk = g_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q)]  # (block_q, 1)
+        delta = delta_ref[0, pl.ds(qb * block_q, block_q)]
+        s = jax.lax.dot_general(
+            q_blk, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        row = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = jnp.logical_and(row < seq_q, col < seq_k)
+        if causal:
+            valid = jnp.logical_and(valid, col <= row + causal_offset)
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        dv = dv + jax.lax.dot_general(
+            p, g_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            g_blk, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dk = dk + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    dk0 = jnp.zeros_like(k)
+    dv0 = jnp.zeros_like(v)
+    dk, dv = jax.lax.fori_loop(qb0, num_qb, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, o, lse, g, causal, scale, block_q, block_k, interpret=False):
+    """O(S)-memory flash backward: dq over q-blocks, dk/dv over k-blocks,
+    attention recomputed from the saved logsumexp."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(sk, 128))
+    sq_p, sk_p = _round_up(sq, block_q), _round_up(sk, block_k)
+    qp = _pad_to(q, sq_p, 2).reshape(b * h, sq_p, d)
+    kp = _pad_to(k, sk_p, 2).reshape(b * h, sk_p, d)
+    vp = _pad_to(v, sk_p, 2).reshape(b * h, sk_p, d)
+    gp = _pad_to(g, sq_p, 2).reshape(b * h, sq_p, d)
+    delta = jnp.sum(
+        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # (b, h, sq)
+    dp_ = _pad_to(delta, sq_p, 2).reshape(b * h, sq_p, 1)
+    lp = _pad_to(lse, sq_p, 2).reshape(b * h, sq_p, 1)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, block_k=block_k, causal=causal, scale=scale,
+            seq_q=sq, seq_k=sk,
+        ),
+        grid=(b * h, sq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, sk_p, d), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, sk_p, d), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, gp, lp, dp_)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, block_q=block_q, causal=causal, scale=scale,
+            seq_q=sq, seq_k=sk,
+        ),
+        grid=(b * h, sk_p // block_k),
+        in_specs=[
+            pl.BlockSpec((1, sq_p, d), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, sq_p, d), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, sq_p, 1), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, sq_p, 1), lambda bh, i: (bh, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i: (bh, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, sk_p, d), v.dtype),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, gp, lp, dp_)
+
+    dq = dq.reshape(b, h, sq_p, d)[:, :, :sq]
+    dk = dk.reshape(b, h, sk_p, d)[:, :, :sk]
+    dv = dv.reshape(b, h, sk_p, d)[:, :, :sk]
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def flash_attention(
     q,
@@ -186,14 +364,27 @@ def flash_attention(
 
 
 def _fwd(q, k, v, causal, scale, block_q, block_k, interpret):
-    o = flash_attention(q, k, v, causal, scale, block_q, block_k, interpret)
-    return o, (q, k, v, o)
+    s = scale if scale is not None else q.shape[-1] ** -0.5
+    o, lse = _flash_fwd(
+        q, k, v, causal, s, block_q, block_k, interpret, return_lse=True
+    )
+    return o, (q, k, v, o, lse)
 
 
 def _bwd(causal, scale, block_q, block_k, interpret, res, g):
-    q, k, v, o = res
-    scale = scale if scale is not None else q.shape[-1] ** -0.5
-    return _bwd_recompute(q, k, v, o, g, causal, scale)
+    q, k, v, o, lse = res
+    s = scale if scale is not None else q.shape[-1] ** -0.5
+    # Backward routing (measured on v5e): XLA autodiff-style recompute is
+    # faster up to ~4k tokens (its O(S^2) logits still fit); the Pallas
+    # blocked bwd trades speed for O(S) memory at long sequences.
+    # Override with IA2P_FLASH_BWD=pallas|xla.
+    import os
+
+    choice = os.environ.get("IA2P_FLASH_BWD", "auto")
+    use_pallas = choice == "pallas" or (choice == "auto" and q.shape[2] > 4096)
+    if use_pallas or interpret:
+        return _flash_bwd(q, k, v, o, lse, g, causal, s, block_q, block_k, interpret)
+    return _bwd_recompute(q, k, v, o, g, causal, s)
 
 
 flash_attention.defvjp(_fwd, _bwd)
