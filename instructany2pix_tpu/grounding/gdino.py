@@ -204,14 +204,53 @@ def _ffn(p, x):
 
 
 def _fusion_init(kc, d, heads):
+    """BiAttentionBlock params, official GroundingDINO/GLIP layout:
+    one shared image-text logits matrix drives both directions
+    (v_proj/l_proj for queries-keys, values_*_proj for values,
+    out_*_proj back, layer-scale gammas)."""
     return {
-        "i2t": _attn_init(kc, d),
-        "t2i": _attn_init(kc, d),
-        "ln_img": L.layer_norm_init(d),
-        "ln_txt": L.layer_norm_init(d),
-        "gamma_img": jnp.full((d,), 1e-4),
-        "gamma_txt": jnp.full((d,), 1e-4),
+        "ln_v": L.layer_norm_init(d),
+        "ln_l": L.layer_norm_init(d),
+        "v_proj": L.linear_init(kc(), d, d),
+        "l_proj": L.linear_init(kc(), d, d),
+        "values_v_proj": L.linear_init(kc(), d, d),
+        "values_l_proj": L.linear_init(kc(), d, d),
+        "out_v_proj": L.linear_init(kc(), d, d),
+        "out_l_proj": L.linear_init(kc(), d, d),
+        "gamma_v": jnp.full((d,), 1e-4),
+        "gamma_l": jnp.full((d,), 1e-4),
     }
+
+
+def _bi_attention(p, img, txt, heads, text_mask):
+    """Bidirectional cross-attention (BiMultiHeadAttention.forward):
+    logits computed once, softmaxed along each direction with the
+    official ±50000 clamping."""
+    b, nv, d = img.shape
+    nl = txt.shape[1]
+    hd = d // heads
+    v_in = L.layer_norm(p["ln_v"], img)
+    l_in = L.layer_norm(p["ln_l"], txt)
+    scale = hd ** -0.5
+    q = (L.linear(p["v_proj"], v_in) * scale).reshape(b, nv, heads, hd)
+    k = L.linear(p["l_proj"], l_in).reshape(b, nl, heads, hd)
+    vv = L.linear(p["values_v_proj"], v_in).reshape(b, nv, heads, hd)
+    vl = L.linear(p["values_l_proj"], l_in).reshape(b, nl, heads, hd)
+    logits = jnp.einsum(
+        "bvhd,blhd->bhvl", q.astype(jnp.float32), k.astype(jnp.float32)
+    )
+    logits = jnp.clip(logits, -50000, 50000)
+    # vision attends text (mask padded text tokens)
+    lv = jnp.where(text_mask[:, None, None, :], logits, -1e9)
+    attn_v = jax.nn.softmax(lv, axis=-1)
+    out_v = jnp.einsum("bhvl,blhd->bvhd", attn_v.astype(vl.dtype), vl)
+    # text attends vision: stabilize like the official impl (subtract max)
+    lt = logits - jnp.max(logits, axis=2, keepdims=True)
+    attn_l = jax.nn.softmax(lt, axis=2)
+    out_l = jnp.einsum("bhvl,bvhd->blhd", attn_l.astype(vv.dtype), vv)
+    dv = L.linear(p["out_v_proj"], out_v.reshape(b, nv, d))
+    dl = L.linear(p["out_l_proj"], out_l.reshape(b, nl, d))
+    return img + p["gamma_v"] * dv, txt + p["gamma_l"] * dl
 
 
 # ------------------------------------------------------------------ model
@@ -334,15 +373,8 @@ def forward(
     tmask = text_mask.astype(bool)
     for i in range(cfg.enc_layers):
         p = params[f"enc_{i}"]
-        # fusion (bi-directional cross attention, layer-scaled)
-        img = img + p["fusion"]["gamma_img"] * _mha(
-            p["fusion"]["i2t"], L.layer_norm(p["fusion"]["ln_img"], img), txt, txt,
-            cfg.heads, mask=tmask,
-        )
-        txt = txt + p["fusion"]["gamma_txt"] * _mha(
-            p["fusion"]["t2i"], L.layer_norm(p["fusion"]["ln_txt"], txt), img, img,
-            cfg.heads,
-        )
+        # fusion (shared-logits bidirectional cross attention)
+        img, txt = _bi_attention(p["fusion"], img, txt, cfg.heads, tmask)
         # image deformable self-attention
         img = L.layer_norm(
             p["img_ln"],
