@@ -266,7 +266,19 @@ def init(key, cfg: GDinoConfig = GDinoConfig.tiny()):
         "level_embed": jax.random.normal(kc(), (cfg.levels, d)) * 0.02,
         "enc_out_ln": L.layer_norm_init(d),
         "enc_out_proj": L.linear_init(kc(), d, d),
-        "query_pos": jax.random.normal(kc(), (cfg.num_queries, d)) * 0.02,
+        # learnable content queries (official transformer.tgt_embed)
+        "tgt_embed": jax.random.normal(kc(), (cfg.num_queries, d)) * 0.02,
+        # box -> positional query MLP (official decoder.ref_point_head)
+        "ref_point_head": {
+            "fc0": L.linear_init(kc(), 2 * d, d),
+            "fc1": L.linear_init(kc(), d, d),
+        },
+        # encoder-side box proposal head (official enc_out_bbox_embed)
+        "enc_bbox": {
+            "fc0": L.linear_init(kc(), d, d),
+            "fc1": L.linear_init(kc(), d, d),
+            "fc2": L.linear_init(kc(), d, 4, scale=1e-3),
+        },
         "class_bias": jnp.zeros(()),
     }
     n_stages = len(cfg.swin.out_stages)
@@ -328,6 +340,24 @@ def _box_mlp(p, x):
     return L.linear(p["fc2"], h)
 
 
+def _box_sine_embed(boxes, d):
+    """cxcywh box -> sine features (4 coords x d/2) like the official
+    get_sine_pos_embed feeding ref_point_head."""
+    half = d // 2
+    dim_t = 10000 ** (2 * (jnp.arange(half // 2) // 1) / half)
+    def enc(v):
+        vv = v[..., None] * 2 * math.pi / dim_t
+        return jnp.concatenate([jnp.sin(vv), jnp.cos(vv)], axis=-1)
+    feats = [enc(boxes[..., i]) for i in range(4)]
+    return jnp.concatenate(feats, axis=-1)  # (..., 2d)
+
+
+def _ref_pos(params, boxes, d):
+    h = _box_sine_embed(boxes, d)
+    h = jax.nn.relu(L.linear(params["ref_point_head"]["fc0"], h))
+    return L.linear(params["ref_point_head"]["fc1"], h)
+
+
 def forward(
     params,
     cfg: GDinoConfig,
@@ -351,12 +381,18 @@ def forward(
         maps.append(g)
 
     shapes = [(m.shape[1], m.shape[2]) for m in maps]
-    toks = []
+    toks, poss = [], []
     for li, m in enumerate(maps):
         h, w = shapes[li]
         pos = _sine_pos(h, w, d)[None].astype(m.dtype)
-        toks.append((m + pos + params["level_embed"][li][None, None, None]).reshape(b, h * w, d))
+        toks.append(m.reshape(b, h * w, d))
+        poss.append(
+            (pos + params["level_embed"][li][None, None, None]).reshape(1, h * w, d)
+        )
     img = jnp.concatenate(toks, axis=1)
+    # positional (sine + level) added to deformable QUERIES per layer,
+    # never to values — official with_pos_embed semantics
+    img_pos = jnp.concatenate(poss, axis=1)
 
     txt_raw = bert_lib.forward(params["bert"], cfg.bert, input_ids, text_mask)
     txt = L.linear(params["text_proj"], txt_raw)
@@ -375,12 +411,13 @@ def forward(
         p = params[f"enc_{i}"]
         # fusion (shared-logits bidirectional cross attention)
         img, txt = _bi_attention(p["fusion"], img, txt, cfg.heads, tmask)
-        # image deformable self-attention
+        # image deformable self-attention (query = content + pos)
         img = L.layer_norm(
             p["img_ln"],
             img
             + deformable_attention(
-                p["img_deform"], img, img_refs, img, shapes, cfg.heads, cfg.points
+                p["img_deform"], img + img_pos, img_refs, img, shapes,
+                cfg.heads, cfg.points,
             ),
         )
         img = _ffn(p["img_ffn"], img)
@@ -397,21 +434,28 @@ def forward(
     scores = jnp.max(sim, axis=-1)  # (B, N)
     k = min(cfg.num_queries, mem.shape[1])
     top = jax.lax.top_k(scores, k)[1]  # (B, k)
-    q = jnp.take_along_axis(mem, top[..., None], axis=1)
+    mem_top = jnp.take_along_axis(mem, top[..., None], axis=1)
     ref_box = jnp.take_along_axis(img_refs, top[..., None], axis=1)
-    # init boxes: centers at selected tokens, size 0.1
-    boxes = jnp.concatenate([ref_box, jnp.full_like(ref_box, 0.1)], axis=-1)
-    q = q + params["query_pos"][:k][None]
 
     def inv_sigmoid(x):
         x = jnp.clip(x, 1e-5, 1 - 1e-5)
         return jnp.log(x / (1 - x))
 
+    # encoder box proposals refined from selected memory (official
+    # enc_out_bbox_embed over the grid proposal)
+    prop = jnp.concatenate([ref_box, jnp.full_like(ref_box, 0.1)], axis=-1)
+    boxes = jax.nn.sigmoid(inv_sigmoid(prop) + _box_mlp(params["enc_bbox"], mem_top))
+    # learnable content queries (official tgt_embed), not the memory
+    q = jnp.tile(params["tgt_embed"][:k][None], (b, 1, 1))
+
     for i in range(cfg.dec_layers):
         p = params[f"dec_{i}"]
-        q = L.layer_norm(p["ln1"], q + _mha(p["self_attn"], q, q, q, cfg.heads))
+        pos = _ref_pos(params, boxes, d)
+        qp = q + pos
+        q = L.layer_norm(p["ln1"], q + _mha(p["self_attn"], qp, qp, q, cfg.heads))
         q = L.layer_norm(
-            p["ln2"], q + _mha(p["txt_cross"], q, txt, txt, cfg.heads, mask=tmask)
+            p["ln2"],
+            q + _mha(p["txt_cross"], q + pos, txt, txt, cfg.heads, mask=tmask),
         )
         q = L.layer_norm(
             p["ln3"],
@@ -493,18 +537,169 @@ def make_grounder(params, cfg: GDinoConfig, tokenizer=None):
     return grounder
 
 
-def convert_from_torch(path: str, cfg: GDinoConfig) -> dict:
-    """Official groundingdino_swint_ogc.pth import.
+def convert_from_torch(path_or_sd, cfg: GDinoConfig) -> dict:
+    """Official groundingdino_swint_ogc.pth import (module. prefix
+    stripped). Fusion/decoder layouts match the official
+    BiMultiHeadAttention / DeformableTransformerDecoderLayer
+    parameterizations; nn.MultiheadAttention in_proj tensors split into
+    q/k/v. Layer-norm name mapping in the decoder follows the official
+    op order: norm2↔post-self-attn (our ln1), catext_norm↔post-text
+    (ln2), norm1↔post-deformable (ln3), norm3↔post-FFN (ffn.ln)."""
+    from ..core import checkpoint as ckpt
 
-    NOT yet wired: this implementation uses a simplified (equivalent-
-    capability) fusion/decoder parameterization whose tensors do not
-    map 1:1 onto the official BiMultiHeadAttention layout; loading
-    would silently mis-ground. grounding.lib.build_segmentator catches
-    this and falls back to the checkpoint-free grounder. Exact-layout
-    alignment is tracked for a follow-up round (the Swin and BERT
-    towers already convert via swin/bert converters).
-    """
-    raise NotImplementedError(
-        "GroundingDINO checkpoint layout alignment pending — "
-        "see grounding/gdino.py docstring"
+    sd = (
+        ckpt.load_torch_state_dict(path_or_sd)
+        if isinstance(path_or_sd, str)
+        else path_or_sd
     )
+    sd = {k[len("module.") :] if k.startswith("module.") else k: v for k, v in sd.items()}
+    L_ = ckpt.linear_w
+    C_ = ckpt.conv_w
+    out: dict = {}
+    flat: dict = {}
+
+    def put(path, val):
+        flat[path] = val
+
+    # ---- swin backbone (backbone.0.*)
+    bb = "backbone.0"
+    put("swin.patch_embed.w", C_(sd[f"{bb}.patch_embed.proj.weight"]))
+    put("swin.patch_embed.b", sd[f"{bb}.patch_embed.proj.bias"])
+    put("swin.patch_ln.g", sd[f"{bb}.patch_embed.norm.weight"])
+    put("swin.patch_ln.b", sd[f"{bb}.patch_embed.norm.bias"])
+    for s in range(len(cfg.swin.depths)):
+        b = 0
+        while f"{bb}.layers.{s}.blocks.{b}.norm1.weight" in sd:
+            pre = f"{bb}.layers.{s}.blocks.{b}"
+            dst = f"swin.stage{s}_block{b}"
+            put(f"{dst}.ln1.g", sd[f"{pre}.norm1.weight"])
+            put(f"{dst}.ln1.b", sd[f"{pre}.norm1.bias"])
+            put(f"{dst}.qkv.w", L_(sd[f"{pre}.attn.qkv.weight"]))
+            put(f"{dst}.qkv.b", sd[f"{pre}.attn.qkv.bias"])
+            put(f"{dst}.proj.w", L_(sd[f"{pre}.attn.proj.weight"]))
+            put(f"{dst}.proj.b", sd[f"{pre}.attn.proj.bias"])
+            put(f"{dst}.rel_bias", sd[f"{pre}.attn.relative_position_bias_table"])
+            put(f"{dst}.ln2.g", sd[f"{pre}.norm2.weight"])
+            put(f"{dst}.ln2.b", sd[f"{pre}.norm2.bias"])
+            put(f"{dst}.fc1.w", L_(sd[f"{pre}.mlp.fc1.weight"]))
+            put(f"{dst}.fc1.b", sd[f"{pre}.mlp.fc1.bias"])
+            put(f"{dst}.fc2.w", L_(sd[f"{pre}.mlp.fc2.weight"]))
+            put(f"{dst}.fc2.b", sd[f"{pre}.mlp.fc2.bias"])
+            b += 1
+        if f"{bb}.layers.{s}.downsample.norm.weight" in sd:
+            put(f"swin.merge_{s}.ln.g", sd[f"{bb}.layers.{s}.downsample.norm.weight"])
+            put(f"swin.merge_{s}.ln.b", sd[f"{bb}.layers.{s}.downsample.norm.bias"])
+            put(
+                f"swin.merge_{s}.proj.w",
+                L_(sd[f"{bb}.layers.{s}.downsample.reduction.weight"]),
+            )
+    for i, s in enumerate(cfg.swin.out_stages):
+        # gdino names per-out-stage norms norm1..norm3
+        nm = f"{bb}.norm{i + 1}" if f"{bb}.norm{i + 1}.weight" in sd else f"{bb}.norm{s}"
+        put(f"swin.out_ln_{s}.g", sd[f"{nm}.weight"])
+        put(f"swin.out_ln_{s}.b", sd[f"{nm}.bias"])
+
+    # ---- bert + text projection
+    from . import bert as bert_lib
+
+    bert_sd = {k[len("bert.") :]: v for k, v in sd.items() if k.startswith("bert.")}
+    out["bert"] = bert_lib.convert_from_hf(bert_sd)
+    put("text_proj.w", L_(sd["feat_map.weight"]))
+    put("text_proj.b", sd["feat_map.bias"])
+
+    # ---- input projections + level embed
+    n_stages = len(cfg.swin.out_stages)
+    for i in range(n_stages):
+        put(f"input_proj_{i}.conv.w", C_(sd[f"input_proj.{i}.0.weight"]))
+        put(f"input_proj_{i}.conv.b", sd[f"input_proj.{i}.0.bias"])
+        put(f"input_proj_{i}.gn.g", sd[f"input_proj.{i}.1.weight"])
+        put(f"input_proj_{i}.gn.b", sd[f"input_proj.{i}.1.bias"])
+    if f"input_proj.{n_stages}.0.weight" in sd:
+        put("input_proj_extra.conv.w", C_(sd[f"input_proj.{n_stages}.0.weight"]))
+        put("input_proj_extra.conv.b", sd[f"input_proj.{n_stages}.0.bias"])
+        put("input_proj_extra.gn.g", sd[f"input_proj.{n_stages}.1.weight"])
+        put("input_proj_extra.gn.b", sd[f"input_proj.{n_stages}.1.bias"])
+    put("level_embed", sd["transformer.level_embed"])
+
+    def mha(dst, pre):
+        w = sd[f"{pre}.in_proj_weight"]
+        bias = sd[f"{pre}.in_proj_bias"]
+        d3 = w.shape[0] // 3
+        for j, nm in enumerate("qkv"):
+            put(f"{dst}.{nm}.w", L_(w[j * d3 : (j + 1) * d3]))
+            put(f"{dst}.{nm}.b", bias[j * d3 : (j + 1) * d3])
+        put(f"{dst}.o.w", L_(sd[f"{pre}.out_proj.weight"]))
+        put(f"{dst}.o.b", sd[f"{pre}.out_proj.bias"])
+
+    def deform(dst, pre):
+        for a, b_ in [
+            ("sampling_offsets", "sampling_offsets"),
+            ("attention_weights", "attn_weights"),
+            ("value_proj", "value_proj"),
+            ("output_proj", "out_proj"),
+        ]:
+            put(f"{dst}.{b_}.w", L_(sd[f"{pre}.{a}.weight"]))
+            put(f"{dst}.{b_}.b", sd[f"{pre}.{a}.bias"])
+
+    def lin(dst, pre):
+        put(f"{dst}.w", L_(sd[f"{pre}.weight"]))
+        put(f"{dst}.b", sd[f"{pre}.bias"])
+
+    def ln(dst, pre):
+        put(f"{dst}.g", sd[f"{pre}.weight"])
+        put(f"{dst}.b", sd[f"{pre}.bias"])
+
+    # ---- encoder
+    for i in range(cfg.enc_layers):
+        e = f"transformer.encoder.layers.{i}"
+        deform(f"enc_{i}.img_deform", f"{e}.self_attn")
+        ln(f"enc_{i}.img_ln", f"{e}.norm1")
+        lin(f"enc_{i}.img_ffn.fc1", f"{e}.linear1")
+        lin(f"enc_{i}.img_ffn.fc2", f"{e}.linear2")
+        ln(f"enc_{i}.img_ffn.ln", f"{e}.norm2")
+        t = f"transformer.encoder.text_layers.{i}"
+        mha(f"enc_{i}.txt_attn", f"{t}.self_attn")
+        ln(f"enc_{i}.txt_ln", f"{t}.norm1")
+        lin(f"enc_{i}.txt_ffn.fc1", f"{t}.linear1")
+        lin(f"enc_{i}.txt_ffn.fc2", f"{t}.linear2")
+        ln(f"enc_{i}.txt_ffn.ln", f"{t}.norm2")
+        f_ = f"transformer.encoder.fusion_layers.{i}"
+        ln(f"enc_{i}.fusion.ln_v", f"{f_}.layer_norm_v")
+        ln(f"enc_{i}.fusion.ln_l", f"{f_}.layer_norm_l")
+        for nm in ("v_proj", "l_proj", "values_v_proj", "values_l_proj",
+                   "out_v_proj", "out_l_proj"):
+            lin(f"enc_{i}.fusion.{nm}", f"{f_}.attn.{nm}")
+        put(f"enc_{i}.fusion.gamma_v", sd[f"{f_}.gamma_v"])
+        put(f"enc_{i}.fusion.gamma_l", sd[f"{f_}.gamma_l"])
+
+    # ---- decoder
+    for i in range(cfg.dec_layers):
+        dd = f"transformer.decoder.layers.{i}"
+        mha(f"dec_{i}.self_attn", f"{dd}.self_attn")
+        ln(f"dec_{i}.ln1", f"{dd}.norm2")          # post self-attn
+        mha(f"dec_{i}.txt_cross", f"{dd}.ca_text")
+        ln(f"dec_{i}.ln2", f"{dd}.catext_norm")    # post text cross
+        deform(f"dec_{i}.img_deform", f"{dd}.cross_attn")
+        ln(f"dec_{i}.ln3", f"{dd}.norm1")          # post deformable
+        lin(f"dec_{i}.ffn.fc1", f"{dd}.linear1")
+        lin(f"dec_{i}.ffn.fc2", f"{dd}.linear2")
+        ln(f"dec_{i}.ffn.ln", f"{dd}.norm3")       # post FFN
+        bx = f"bbox_embed.{i}.layers" if f"bbox_embed.{i}.layers.0.weight" in sd             else f"transformer.decoder.bbox_embed.{i}.layers"
+        for j in range(3):
+            lin(f"dec_{i}.box_mlp.fc{j}", f"{bx}.{j}")
+
+    put("tgt_embed", sd["transformer.tgt_embed.weight"])
+    lin("enc_out_proj", "transformer.enc_output")
+    ln("enc_out_ln", "transformer.enc_output_norm")
+    for j in range(2):
+        lin(f"ref_point_head.fc{j}", f"transformer.decoder.ref_point_head.layers.{j}")
+    eb = "transformer.enc_out_bbox_embed.layers"
+    for j in range(3):
+        lin(f"enc_bbox.fc{j}", f"{eb}.{j}")
+    put("class_bias", np.zeros(()))
+
+    from ..core import tree as tree_util
+
+    converted = tree_util.unflatten(flat)
+    converted["bert"] = out["bert"]
+    return converted
