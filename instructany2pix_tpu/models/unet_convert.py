@@ -45,8 +45,10 @@ def _resnet_rules(src: str, dst: str):
 
 
 def _transformer_rules(src: str, dst: str):
-    tb = rf"{src}\.transformer_blocks\.(\d+)"
-    td = rf"{dst}.block_\1"
+    # named group: src may already contain numbered groups (down/up
+    # block indices), so \1 would be wrong for the transformer index
+    tb = rf"{src}\.transformer_blocks\.(?P<tb>\d+)"
+    td = rf"{dst}.block_\g<tb>"
     return [
         (rf"{src}\.norm\.weight", rf"{dst}.norm.g", None),
         (rf"{src}\.norm\.bias", rf"{dst}.norm.b", None),

@@ -48,17 +48,20 @@ def main():
     import jax
 
     kc = KeyChain(0)
+    from instructany2pix_tpu.pipeline import _audio_patches
+
     if args.tiny or not os.path.exists(args.ckpt):
         vcfg = imagebind.ViTConfig.tiny()
         acfg = imagebind.ViTConfig.tiny(in_channels=1)
         vparams = imagebind.init(kc(), vcfg)
-        aparams = imagebind.init(kc(), acfg, num_patches=(128 // 16) * (204 // 16))
+        aparams = imagebind.init(kc(), acfg, num_patches=_audio_patches(acfg))
         if not args.tiny:
             print(f"warning: {args.ckpt} not found — using random tiny encoders")
     else:
-        raise NotImplementedError(
-            "ImageBind checkpoint conversion pending (models/imagebind)"
-        )
+        vcfg = imagebind.ViTConfig.imagebind_vision()
+        acfg = imagebind.ViTConfig.imagebind_audio()
+        vparams = imagebind.convert_from_imagebind(args.ckpt, "vision")
+        aparams = imagebind.convert_from_imagebind(args.ckpt, "audio")
 
     os.makedirs(args.output, exist_ok=True)
     for name in sorted(os.listdir(args.input)):
