@@ -64,6 +64,20 @@ class MediaMap:
         n = np.linalg.norm(x)
         return x / (n + 1e-9) * norm if n > 0 else x
 
+    def get_batch(self, captions, norm: float = 20.0) -> np.ndarray:
+        """Batched lookup through the native threaded loader (falls back
+        to numpy when native/libia2p_loader.so isn't built). Unknown
+        captions / unreadable files give zero rows."""
+        from .native_loader import load_feature_batch
+
+        paths = [
+            os.path.join(self.root, self.mapping.get(c, "\0missing"))
+            for c in captions
+        ]
+        out = load_feature_batch(paths, self.dim)
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        return np.where(norms > 0, out / (norms + 1e-9) * norm, out)
+
 
 _BRACKET = re.compile(r"\[([^\]]+)\]")
 
