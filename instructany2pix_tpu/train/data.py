@@ -71,7 +71,8 @@ class MediaMap:
         from .native_loader import load_feature_batch
 
         paths = [
-            os.path.join(self.root, self.mapping.get(c, "\0missing"))
+            os.path.join(self.root, self.mapping[c]) if c in self.mapping
+            else os.path.join(self.root, "__missing__.npz")
             for c in captions
         ]
         out = load_feature_batch(paths, self.dim)

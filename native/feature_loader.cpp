@@ -34,13 +34,16 @@ struct Buf {
   std::vector<unsigned char> data;
 };
 
+constexpr long kMaxFeatureFile = 1LL << 31;  // 2 GB sanity cap
+
 bool read_file(const char* path, Buf* out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   std::fseek(f, 0, SEEK_END);
   long n = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
-  if (n < 0) { std::fclose(f); return false; }
+  // directories/specials report absurd sizes; cap before allocating
+  if (n < 0 || n > kMaxFeatureFile) { std::fclose(f); return false; }
   out->data.resize(static_cast<size_t>(n));
   size_t got = std::fread(out->data.data(), 1, out->data.size(), f);
   std::fclose(f);
@@ -163,15 +166,21 @@ extern "C" int ia2p_load_features(const char** paths, int n_paths,
       if (i >= n_paths) return;
       float* row = out + static_cast<long long>(i) * out_stride;
       std::memset(row, 0, sizeof(float) * out_stride);
-      Buf buf;
-      bool ok = read_file(paths[i], &buf);
-      if (ok) {
-        size_t len = std::strlen(paths[i]);
-        if (len >= 4 && std::strcmp(paths[i] + len - 4, ".npy") == 0) {
-          ok = parse_npy(buf.data.data(), buf.data.size(), row, out_stride);
-        } else {
-          ok = load_npz_entry(buf, entry_name, row, out_stride);
+      bool ok = false;
+      try {
+        Buf buf;
+        ok = read_file(paths[i], &buf);
+        if (ok) {
+          size_t len = std::strlen(paths[i]);
+          if (len >= 4 && std::strcmp(paths[i] + len - 4, ".npy") == 0) {
+            ok = parse_npy(buf.data.data(), buf.data.size(), row, out_stride);
+          } else {
+            ok = load_npz_entry(buf, entry_name, row, out_stride);
+          }
         }
+      } catch (...) {  // corrupt container must never kill the host
+        ok = false;
+        std::memset(row, 0, sizeof(float) * out_stride);
       }
       if (!ok) failures.fetch_add(1);
     }

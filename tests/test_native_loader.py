@@ -83,3 +83,10 @@ def test_media_map_batched_matches_single(tmp_path):
     np.testing.assert_allclose(batch[0], mm.get("a"), rtol=1e-6)
     np.testing.assert_allclose(batch[1], mm.get("b"), rtol=1e-6)
     assert np.all(batch[2] == 0)
+
+
+def test_directory_path_is_survivable(tmp_path):
+    # a directory path must fail gracefully (zero row), not abort —
+    # regression for the ftell-on-directory bad_alloc crash
+    out = native_loader.load_feature_batch([str(tmp_path)], 8)
+    assert np.all(out == 0)
