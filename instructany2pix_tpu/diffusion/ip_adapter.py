@@ -133,3 +133,22 @@ def convert_ip_attn_from_torch(sd: dict, attn_paths: list) -> dict:
             "to_v_ip": {"w": ckpt.linear_w(sd[f"{2 * i + 1}.to_v_ip.weight"])},
         }
     return out
+
+
+# ------------------------------------------------- plain MLP projector
+
+
+def mlp_proj_init(key, clip_embeddings_dim: int = 1024, cross_attention_dim: int = 1024):
+    """MLPProjModel (reference ip_adapter.py:77-92, IPAdapterFull):
+    Linear → GELU → Linear → LayerNorm over per-token features."""
+    kc = KeyChain(key)
+    return {
+        "fc1": L.linear_init(kc(), clip_embeddings_dim, clip_embeddings_dim),
+        "fc2": L.linear_init(kc(), clip_embeddings_dim, cross_attention_dim),
+        "norm": L.layer_norm_init(cross_attention_dim),
+    }
+
+
+def mlp_proj_apply(params, image_embeds):
+    h = L.linear(params["fc2"], L.gelu(L.linear(params["fc1"], image_embeds)))
+    return L.layer_norm(params["norm"], h)

@@ -140,3 +140,55 @@ class TestSAM:
         w, pad_hw = sam_lib._window_partition(x, 4)
         back = sam_lib._window_unpartition(w, 4, pad_hw, (6, 10))
         np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+class TestVQGANAdversarial:
+    def test_generator_and_discriminator_losses(self, rng):
+        from instructany2pix_tpu.codecs import vqgan_train as vt
+        from instructany2pix_tpu.codecs import vqgan
+        import jax.numpy as jnp
+
+        vq_cfg = vqgan.VQConfig.tiny()
+        d_cfg = vt.DiscConfig.tiny()
+        vq_params = vqgan.init(jax.random.key(0), vq_cfg)
+        d_params = vt.disc_init(jax.random.key(1), d_cfg)
+        x = jax.random.normal(jax.random.key(2), (2, 16, 16, 3))
+
+        # before disc_start the adversarial weight is zero
+        g0, aux0 = vt.vqgan_generator_loss(
+            vq_params, d_params, x, jnp.asarray(0), vq_cfg, d_cfg, disc_start=100
+        )
+        g1, aux1 = vt.vqgan_generator_loss(
+            vq_params, d_params, x, jnp.asarray(500), vq_cfg, d_cfg, disc_start=100
+        )
+        assert float(aux0["adv_weight"]) == 0.0
+        assert float(aux1["adv_weight"]) > 0.0
+        assert np.isfinite(float(g0)) and np.isfinite(float(g1))
+
+        d_loss, daux = vt.vqgan_discriminator_loss(
+            d_params, vq_params, x, jnp.asarray(500), vq_cfg, d_cfg, disc_start=100
+        )
+        assert np.isfinite(float(d_loss))
+        # grads flow into the discriminator only
+        gd = jax.grad(
+            lambda dp: vt.vqgan_discriminator_loss(
+                dp, vq_params, x, jnp.asarray(500), vq_cfg, d_cfg, disc_start=100
+            )[0]
+        )(d_params)
+        assert max(float(jnp.abs(g).max()) for g in jax.tree.leaves(gd)) > 0
+
+    def test_perceptual_hook(self, rng):
+        from instructany2pix_tpu.codecs import vqgan_train as vt
+        from instructany2pix_tpu.codecs import vqgan
+        import jax.numpy as jnp
+
+        vq_cfg = vqgan.VQConfig.tiny()
+        d_cfg = vt.DiscConfig.tiny()
+        vq_params = vqgan.init(jax.random.key(0), vq_cfg)
+        d_params = vt.disc_init(jax.random.key(1), d_cfg)
+        x = jax.random.normal(jax.random.key(2), (1, 16, 16, 3))
+        loss, aux = vt.vqgan_generator_loss(
+            vq_params, d_params, x, jnp.asarray(0), vq_cfg, d_cfg,
+            perceptual_fn=lambda im: im.mean(axis=-1),
+        )
+        assert "perceptual_loss" in aux
