@@ -186,3 +186,44 @@ class Schedule:
 def cfg_combine(uncond, cond, guidance_scale):
     """Classifier-free guidance mix."""
     return uncond + guidance_scale * (cond - uncond)
+
+
+def lcm_timesteps(schedule: Schedule, num_inference_steps: int = 4) -> jnp.ndarray:
+    """LCM inference timesteps: evenly spaced over the origin DDIM skip
+    grid (diffusers LCMScheduler; the reference's disabled 4-step fast
+    path, reference readme.MD:60 / sdxl_img2img_pipeline.py:90-105)."""
+    n = schedule.cfg.num_train_timesteps
+    lcm_origin_steps = 50
+    c = n // lcm_origin_steps
+    ddim_ts = (np.arange(1, lcm_origin_steps + 1) * c) - 1
+    skip = lcm_origin_steps // num_inference_steps
+    ts = ddim_ts[::-1][::skip][:num_inference_steps]
+    return jnp.asarray(ts.copy(), jnp.int32)
+
+
+def lcm_boundary_scalings(schedule: Schedule, t, sigma_data: float = 0.5):
+    """Consistency-model boundary conditions c_skip(t), c_out(t)."""
+    scaled = jnp.asarray(t, jnp.float32) * (10.0 / schedule.cfg.num_train_timesteps) * 100.0
+    c_skip = sigma_data**2 / (scaled**2 + sigma_data**2)
+    c_out = scaled / jnp.sqrt(scaled**2 + sigma_data**2)
+    return c_skip, c_out
+
+
+def lcm_step(schedule: Schedule, model_out, t, t_prev, sample, key=None):
+    """One LCM update: consistency-parameterized x0 estimate, then jump
+    to the next timestep's noise level (requires LCM-distilled UNet
+    weights to produce good samples; the stepping itself is weight-
+    agnostic)."""
+    x0 = schedule.to_x0(model_out, sample, t)
+    c_skip, c_out = lcm_boundary_scalings(schedule, t)
+    shape = (-1,) + (1,) * (sample.ndim - 1)
+    denoised = c_skip.reshape(shape) * sample + c_out.reshape(shape) * x0
+    a_prev = schedule.alpha_bar(t_prev).reshape(shape)
+    noise = (
+        jax.random.normal(key, sample.shape, sample.dtype)
+        if key is not None
+        else jnp.zeros_like(sample)
+    )
+    is_last = (jnp.asarray(t_prev) < 0).reshape(shape)
+    stepped = jnp.sqrt(a_prev) * denoised + jnp.sqrt(1 - a_prev) * noise
+    return jnp.where(is_last, denoised, stepped)

@@ -194,3 +194,23 @@ class TestUNet:
             params, x, jnp.array([10]), ctx, cfg, pooled_text=pooled, time_ids=tid
         )
         assert out.shape == x.shape
+
+
+class TestLCM:
+    def test_lcm_timesteps_and_step(self, rng):
+        from instructany2pix_tpu.diffusion import schedulers as S
+
+        s = S.Schedule.create()
+        ts = np.asarray(S.lcm_timesteps(s, 4))
+        assert len(ts) == 4 and ts[0] > ts[-1]
+        x = jax.random.normal(rng, (1, 4, 4, 4))
+        eps = jax.random.normal(jax.random.key(1), x.shape)
+        out = S.lcm_step(s, eps, jnp.asarray([int(ts[0])]),
+                         jnp.asarray([int(ts[1])]), x, key=jax.random.key(2))
+        assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+        # final step (t_prev=-1) is deterministic (no noise re-injection)
+        a = S.lcm_step(s, eps, jnp.asarray([int(ts[-1])]), jnp.asarray([-1]), x,
+                       key=jax.random.key(3))
+        b = S.lcm_step(s, eps, jnp.asarray([int(ts[-1])]), jnp.asarray([-1]), x,
+                       key=jax.random.key(4))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
