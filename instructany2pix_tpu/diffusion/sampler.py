@@ -275,3 +275,32 @@ def mix_latents(
     )
     la = la / (jnp.linalg.norm(la, axis=-1, keepdims=True) + 1e-9) * norm
     return la
+
+
+def scan_denoise_lcm(eps_fn, schedule: Schedule, latents: jax.Array, ts, key):
+    """LCM consistency sampling scan (4-step fast path; needs distilled
+    UNet weights for quality — the stepping is weight-agnostic)."""
+    from .schedulers import lcm_step
+
+    ts = jnp.asarray(ts)
+    ts_prev = jnp.concatenate([ts[1:], jnp.asarray([-1], jnp.int32)])
+    b = latents.shape[0]
+    keys = jax.random.split(key, ts.shape[0])
+
+    def step(lat, inputs):
+        t, t_prev, k, i = inputs
+        eps = eps_fn(lat, t, i)
+        lat = lcm_step(
+            schedule,
+            eps.astype(jnp.float32),
+            jnp.full((b,), t),
+            jnp.full((b,), t_prev),
+            lat.astype(jnp.float32),
+            key=k,
+        ).astype(latents.dtype)
+        return lat, None
+
+    out, _ = jax.lax.scan(
+        step, latents, (ts, ts_prev, keys, jnp.arange(ts.shape[0]))
+    )
+    return out

@@ -480,12 +480,27 @@ class InstructAny2PixPipeline:
             clip_image_embeds=latent_la, mode="global",
         )
         with stage("denoise"):
-            lat = sampler_lib.denoise(
-                self.params["unet"], c.unet, self.schedule, latent_inv,
-                ctx_p, ctx_null, pooled_p, pooled_null, tid,
-                num_inference_steps=num_inference_steps, guidance_scale=cfg,
-                ip_tokens=ip_cond, ip_tokens_uncond=ip_uncond, ip_scale=scale,
-            )
+            if diffusion_mode == "ipa_lcm":
+                # 4-step LCM fast path (reference readme.MD:60; needs
+                # LCM-distilled UNet weights for quality)
+                from .diffusion.schedulers import lcm_timesteps
+
+                eps_fn = sampler_lib.make_cfg_eps_fn(
+                    self.params["unet"], c.unet, ctx_p, ctx_null, pooled_p,
+                    pooled_null, tid, guidance_scale=1.0, ip_tokens=ip_cond,
+                    ip_tokens_uncond=ip_uncond, ip_scale=scale,
+                )
+                lat = sampler_lib.scan_denoise_lcm(
+                    eps_fn, self.schedule, latent_inv,
+                    lcm_timesteps(self.schedule, 4), kc(),
+                )
+            else:
+                lat = sampler_lib.denoise(
+                    self.params["unet"], c.unet, self.schedule, latent_inv,
+                    ctx_p, ctx_null, pooled_p, pooled_null, tid,
+                    num_inference_steps=num_inference_steps, guidance_scale=cfg,
+                    ip_tokens=ip_cond, ip_tokens_uncond=ip_uncond, ip_scale=scale,
+                )
         img = vae_lib.decode(self.params["vae"], lat, c.vae)
         non_refined = image_io.from_model_range(np.asarray(img[0]))
 
