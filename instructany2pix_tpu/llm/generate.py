@@ -32,7 +32,10 @@ class GenerateResult(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_new_tokens", "temperature", "eos_id", "max_len")
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "temperature", "eos_id", "max_len", "bucket"
+    ),
 )
 def generate(
     params,
@@ -43,12 +46,28 @@ def generate(
     temperature: float = 0.3,
     eos_id: int = 2,
     max_len: Optional[int] = None,
+    bucket: Optional[int] = None,
 ) -> GenerateResult:
     b, s, _ = inputs_embeds.shape
+    # prompt-length bucketing: left-pad to a multiple of `bucket` so the
+    # number of distinct compiled graphs is bounded (serving latency);
+    # pad slots are masked out of attention and position numbering
+    prefix_pad = 0
+    if bucket is not None:
+        padded = -(-s // bucket) * bucket
+        prefix_pad = padded - s
+        if prefix_pad:
+            inputs_embeds = jnp.pad(
+                inputs_embeds, ((0, 0), (prefix_pad, 0), (0, 0))
+            )
+            s = padded
     max_len = max_len or (s + max_new_tokens)
     cache = llama.KVCache.create(cfg, b, max_len=max_len, dtype=inputs_embeds.dtype)
 
-    out = llama.forward(params, cfg, inputs_embeds=inputs_embeds, cache=cache)
+    out = llama.forward(
+        params, cfg, inputs_embeds=inputs_embeds, cache=cache,
+        prefix_pad=prefix_pad or None,
+    )
     cache = out["cache"]
     h_last = out["hidden_norm"][:, -1]  # predicts the first sampled token
     logits_last = out["logits"][:, -1]
@@ -65,7 +84,10 @@ def generate(
         cache, tok, done, key = carry
         key, k = jax.random.split(key)
         emb = llama.embed(params, tok[:, None])
-        out = llama.forward(params, cfg, inputs_embeds=emb, cache=cache)
+        out = llama.forward(
+            params, cfg, inputs_embeds=emb, cache=cache,
+            prefix_pad=prefix_pad or None,
+        )
         done = done | (tok == eos_id)
         nxt = jnp.where(done, eos_id, sample(out["logits"][:, -1], k))
         return (out["cache"], nxt, done, key), (nxt, out["hidden_norm"][:, -1])

@@ -121,7 +121,8 @@ def embed(params, input_ids):
     return L.embedding(params["embed_tokens"], input_ids)
 
 
-def _block(p, x, positions, cfg, mask, cache_kv=None, cache_len=None):
+def _block(p, x, positions, cfg, mask, cache_kv=None, cache_len=None,
+           prefix_pad=None):
     """One decoder layer. Returns (x, (k_new, v_new)) where k_new/v_new
     are this call's keys/values (for cache update)."""
     b, s, d = x.shape
@@ -144,7 +145,11 @@ def _block(p, x, positions, cfg, mask, cache_kv=None, cache_len=None):
         max_len = ck.shape[1]
         row = cache_len + jnp.arange(s)[:, None]
         col = jnp.arange(max_len)[None, :]
-        attn_mask = jnp.broadcast_to((col <= row)[None], (b, s, max_len))
+        valid = col <= row
+        if prefix_pad is not None:
+            # left-padded prompt: pad slots [0, prefix_pad) never attend
+            valid = valid & (col >= prefix_pad)
+        attn_mask = jnp.broadcast_to(valid[None], (b, s, max_len))
         o = dot_product_attention(
             q, ck.astype(q.dtype), cv.astype(q.dtype), mask=attn_mask, impl="xla"
         )
@@ -166,6 +171,7 @@ def forward(
     attention_mask: Optional[jax.Array] = None,
     positions: Optional[jax.Array] = None,
     cache: Optional[KVCache] = None,
+    prefix_pad=None,
 ):
     """Full or incremental forward.
 
@@ -184,6 +190,10 @@ def forward(
     if positions is None:
         start = cache.length if cache is not None else 0
         positions = jnp.arange(s)[None, :] + start
+        if prefix_pad is not None:
+            # left-padded prompt: content starts at prefix_pad; pad slots
+            # clamp to position 0 (they are masked out of attention)
+            positions = jnp.maximum(positions - prefix_pad, 0)
         positions = jnp.broadcast_to(positions, (b, s))
 
     new_k, new_v = [], []
@@ -197,6 +207,7 @@ def forward(
                 None,
                 cache_kv=(cache.k[i], cache.v[i]),
                 cache_len=cache.length,
+                prefix_pad=prefix_pad,
             )
             new_k.append(ck)
             new_v.append(cv)

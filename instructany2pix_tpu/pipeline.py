@@ -279,6 +279,7 @@ class InstructAny2PixPipeline:
                 max_new_tokens=100,
                 temperature=0.3,
                 eos_id=eos_id,
+                bucket=64,  # bound compile count across prompt lengths
             )
         n_out = min(int(result.done_at[0]) + 1, result.tokens.shape[1])
         out_seq = np.asarray(result.tokens[0, :n_out])

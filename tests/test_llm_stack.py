@@ -149,3 +149,24 @@ def test_generate_stops_at_eos(rng):
     )
     assert int(res.done_at[0]) == 0
     assert np.all(np.asarray(res.tokens[0]) == first)
+
+
+def test_generate_bucketed_matches_unbucketed(rng):
+    """Left-padded bucketing must be a pure compile-count optimization:
+    greedy outputs identical to the unbucketed run."""
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init(rng, cfg)
+    ids = jnp.asarray([[1, 5, 9, 20, 7]])
+    emb = llama.embed(params, ids)
+    a = gen_lib.generate(
+        params, cfg, emb, jax.random.key(0), max_new_tokens=6, temperature=0.0,
+        eos_id=2, max_len=32,
+    )
+    b = gen_lib.generate(
+        params, cfg, emb, jax.random.key(0), max_new_tokens=6, temperature=0.0,
+        eos_id=2, max_len=32, bucket=16,
+    )
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_allclose(
+        np.asarray(a.hiddens), np.asarray(b.hiddens), atol=2e-4, rtol=1e-3
+    )
