@@ -322,6 +322,14 @@ def init(key, cfg: GDinoConfig = GDinoConfig.tiny()):
     return p
 
 
+def _sine_pos_1d(n, d):
+    """Sinusoidal position features over token index (official
+    get_sine_pos_embed for the text branch)."""
+    dim_t = 10000 ** (2 * (jnp.arange(d // 2) // 1) / d)
+    v = (jnp.arange(n)[:, None] + 0.5) * 2 * math.pi / dim_t
+    return jnp.concatenate([jnp.sin(v), jnp.cos(v)], axis=-1)  # (n, d)
+
+
 def _sine_pos(h, w, d):
     ys = (jnp.arange(h) + 0.5) / h
     xs = (jnp.arange(w) + 0.5) / w
@@ -396,6 +404,7 @@ def forward(
 
     txt_raw = bert_lib.forward(params["bert"], cfg.bert, input_ids, text_mask)
     txt = L.linear(params["text_proj"], txt_raw)
+    txt_pos = _sine_pos_1d(txt.shape[1], d)[None].astype(txt.dtype)
 
     # reference points for image self-attn: each token's own grid center
     refs = []
@@ -421,9 +430,11 @@ def forward(
             ),
         )
         img = _ffn(p["img_ffn"], img)
-        # text self-attention
+        # text self-attention (sine token-position added to q/k, official
+        # text_layers with_pos_embed semantics)
+        tq = txt + txt_pos
         txt = L.layer_norm(
-            p["txt_ln"], txt + _mha(p["txt_attn"], txt, txt, txt, cfg.heads, mask=tmask)
+            p["txt_ln"], txt + _mha(p["txt_attn"], tq, tq, txt, cfg.heads, mask=tmask)
         )
         txt = _ffn(p["txt_ffn"], txt)
 
