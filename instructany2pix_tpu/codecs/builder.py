@@ -15,9 +15,9 @@ the reference's config-name surface (`vq-npz`) intact.
 
 from __future__ import annotations
 
-import os
+
 import pathlib
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import numpy as np
 

@@ -11,7 +11,7 @@ mean-pooled extra latents. Backs the IPAdapterPlus(XL) variants
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

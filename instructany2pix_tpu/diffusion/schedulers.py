@@ -19,7 +19,7 @@ identically:
 from __future__ import annotations
 
 import dataclasses
-from typing import Literal, Optional, Tuple
+from typing import Literal
 
 import jax
 import jax.numpy as jnp

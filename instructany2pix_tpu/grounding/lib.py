@@ -15,7 +15,7 @@ Interfaces:
 
 from __future__ import annotations
 
-import dataclasses
+
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp

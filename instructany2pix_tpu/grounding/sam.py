@@ -22,7 +22,7 @@ max-IoU of the 3 multimask outputs like SamPredictor's default).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ is tested against `transformers.CLIPTextModel` on random tiny configs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

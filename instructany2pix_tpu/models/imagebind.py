@@ -19,7 +19,7 @@ torchaudio transforms with numpy/JAX equivalents.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

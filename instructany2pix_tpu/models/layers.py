@@ -10,7 +10,7 @@ core.checkpoint converters).
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ any2pix_llama.py:177) as an idiomatic JAX decoder:
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..core import checkpoint as ckpt
 from . import unet as unet_lib
-from . import vae as vae_lib
+
 
 _L = ckpt.linear_w
 _C = ckpt.conv_w

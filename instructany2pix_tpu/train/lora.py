@@ -14,7 +14,7 @@ import re
 from typing import Sequence
 
 import jax
-import jax.numpy as jnp
+
 
 from ..core import tree as tree_util
 from ..core.prng import KeyChain

@@ -12,7 +12,7 @@ clipping (HF default 1.0), and the per-loss metrics dict
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

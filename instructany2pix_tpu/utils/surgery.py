@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-import jax
+
 import numpy as np
 
 from ..core import checkpoint as ckpt_lib
