@@ -531,7 +531,9 @@ class InstructAny2PixPipeline:
                 rctx, o2n["hidden_states"][-2], rpooled,
                 o2n.get("text_embeds", o2n["pooled"]), rtid,
                 num_inference_steps=num_inference_steps, strength=refinement,
-                guidance_scale=cfg,
+                # reference calls the refiner with diffusers defaults
+                # (pipeline.py:358-359) → img2img guidance 5.0, not `cfg`
+                guidance_scale=5.0,
             )
             rimg = vae_lib.decode(self.params["vae"], rlat, c.vae)
             oo = image_io.from_model_range(np.asarray(rimg[0]))
