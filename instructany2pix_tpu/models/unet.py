@@ -377,8 +377,9 @@ def apply(
                 )
             skips.append(h)
         if "down" in blk:
-            h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            h = L.conv2d(blk["down"], h, stride=2, padding="VALID")
+            # diffusers UNet Downsample2D: symmetric padding=1 (the VAE's
+            # asymmetric (0,1) pad is a VAE-only convention)
+            h = L.conv2d(blk["down"], h, stride=2, padding=[(1, 1), (1, 1)])
             skips.append(h)
 
     mid = params["mid"]
