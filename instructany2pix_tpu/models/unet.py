@@ -209,7 +209,9 @@ def _transformer_init(kc, c, ctx_dim, heads, depth, with_ip, use_linear):
 def _transformer(p, x, ctx, heads, depth, groups, use_linear, ip_tokens, ip_scale):
     b, hh, ww, c = x.shape
     res = x
-    h = L.group_norm(p["norm"], x, groups)
+    # diffusers Transformer2DModel hardcodes GroupNorm eps=1e-6 (resnets
+    # use the unet-level 1e-5)
+    h = L.group_norm(p["norm"], x, groups, eps=1e-6)
     if use_linear:
         h = h.reshape(b, hh * ww, c)
         h = L.linear(p["proj_in"], h)

@@ -51,9 +51,10 @@ def _resnet_init(kc: KeyChain, cin, cout):
 
 
 def _resnet(p, x, groups):
-    h = L.group_norm(p["norm1"], x, groups, silu=True)
+    # diffusers VAE blocks use GroupNorm eps=1e-6 throughout
+    h = L.group_norm(p["norm1"], x, groups, eps=1e-6, silu=True)
     h = L.conv2d(p["conv1"], h)
-    h = L.group_norm(p["norm2"], h, groups, silu=True)
+    h = L.group_norm(p["norm2"], h, groups, eps=1e-6, silu=True)
     h = L.conv2d(p["conv2"], h)
     if "shortcut" in p:
         x = L.conv2d(p["shortcut"], x)
@@ -72,7 +73,7 @@ def _attn_init(kc: KeyChain, c):
 
 def _attn(p, x, groups):
     b, h, w, c = x.shape
-    y = L.group_norm(p["norm"], x, groups)
+    y = L.group_norm(p["norm"], x, groups, eps=1e-6)
     y = y.reshape(b, h * w, c)
     q = L.linear(p["q"], y)[:, :, None, :]
     k = L.linear(p["k"], y)[:, :, None, :]
@@ -149,7 +150,7 @@ def encode_moments(params, x, cfg: VAEConfig = VAEConfig()):
     h = _resnet(p["mid"]["res_0"], h, g)
     h = _attn(p["mid"]["attn"], h, g)
     h = _resnet(p["mid"]["res_1"], h, g)
-    h = L.group_norm(p["norm_out"], h, g, silu=True)
+    h = L.group_norm(p["norm_out"], h, g, eps=1e-6, silu=True)
     h = L.conv2d(p["conv_out"], h)
     h = L.conv2d(p["quant_conv"], h)
     mean, logvar = jnp.split(h, 2, axis=-1)
@@ -188,5 +189,5 @@ def decode(params, z, cfg: VAEConfig = VAEConfig()):
             b, hh, ww, c = h.shape
             h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
             h = L.conv2d(blk["up"], h)
-    h = L.group_norm(p["norm_out"], h, g, silu=True)
+    h = L.group_norm(p["norm_out"], h, g, eps=1e-6, silu=True)
     return L.conv2d(p["conv_out"], h)
