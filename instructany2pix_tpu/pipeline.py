@@ -53,6 +53,7 @@ from .llm import constants as C
 from .llm import generate as gen_lib
 from .llm import multimodal as mm_lib
 from .llm.conversation import conv_templates
+from .llm.clip_tokenizer import load_clip_tokenizer
 from .llm.tokenizer import initialize_vision_tokenizer, load_tokenizer
 from .models import clip as clip_lib
 from .models import imagebind as imagebind_lib
@@ -187,10 +188,24 @@ class InstructAny2PixPipeline:
         else:
             self.params = self._load_checkpoints(ckpt, llm_folder)
 
-        # grounding components: pluggable; fall back to whole-image
-        # grounding when DINO/SAM checkpoints are absent
-        self.grounder = grounding_lib.cosine_fallback_grounder(None)
-        self.segmentor = grounding_lib.box_fill_segmentor
+        # CLIP BPE tokenizers for the SDXL text encoders and the prior's
+        # CLIP-ViT-H conditioner (reference prior/model.py:29-44;
+        # diffusers SDXL tokenizer/tokenizer_2). Loaded from checkpoint
+        # dirs when present; checkpoint-free tiny runs keep the byte
+        # tokenizer (the tiny text encoders are random anyway).
+        sdxl_dir = os.path.join(ckpt, "sdxl-base")
+        self.clip_tok1 = load_clip_tokenizer(os.path.join(sdxl_dir, "tokenizer"))
+        self.clip_tok2 = load_clip_tokenizer(os.path.join(sdxl_dir, "tokenizer_2"))
+        self.prior_tok = load_clip_tokenizer(
+            os.path.join(ckpt, "clip-vit-h", "tokenizer")
+        ) or load_clip_tokenizer(os.path.join(ckpt, "clip-vit-h"))
+
+        # grounding components: real GroundingDINO+SAM graphs when their
+        # checkpoints exist (reference gdino/lib.py:54-67 wires them at
+        # init); whole-image cosine fallback otherwise
+        self.segmentor, self.grounder = grounding_lib.build_segmentator(
+            os.path.join(ckpt, "gdino")
+        )
 
     # ------------------------------------------------------------ weights
 
@@ -242,7 +257,13 @@ class InstructAny2PixPipeline:
 
     # ---------------------------------------------------------- LLM stage
 
-    def forward_llm(self, inst: str, mm_data: List[dict] = [], use_cache: bool = False):
+    def forward_llm(
+        self,
+        inst: str,
+        mm_data: List[dict] = [],
+        use_cache: bool = False,
+        key: Optional[jax.Array] = None,
+    ):
         if use_cache and self.cache is not None:
             return self.cache
 
@@ -275,7 +296,7 @@ class InstructAny2PixPipeline:
                 self.params["llm"]["llama"],
                 self.cfg.llm.llama,
                 inputs_embeds,
-                jax.random.key(np.random.randint(0, 2**31)),
+                key if key is not None else jax.random.key(np.random.randint(0, 2**31)),
                 max_new_tokens=100,
                 temperature=0.3,
                 eos_id=eos_id,
@@ -381,14 +402,17 @@ class InstructAny2PixPipeline:
 
     # -------------------------------------------------------- helpers
 
+    def _clip_ids(self, clip_tok, prompt: str, length: int, eos: Optional[int]):
+        """Token ids for a CLIP text encoder: the real BPE tokenizer when
+        its vocab is on disk, byte-tokenizer fallback otherwise."""
+        if clip_tok is not None:
+            return np.asarray([clip_tok.encode_padded(prompt, length)], np.int32)
+        return _tokenize_pad(self.tokenizer, prompt, length, eos)
+
     def _encode_sdxl_prompt(self, prompt: str):
         c = self.cfg
-        ids1 = _tokenize_pad(
-            self.tokenizer, prompt, c.text1.max_positions, c.text1.eos_token_id
-        )
-        ids2 = _tokenize_pad(
-            self.tokenizer, prompt, c.text2.max_positions, c.text2.eos_token_id
-        )
+        ids1 = self._clip_ids(self.clip_tok1, prompt, c.text1.max_positions, c.text1.eos_token_id)
+        ids2 = self._clip_ids(self.clip_tok2, prompt, c.text2.max_positions, c.text2.eos_token_id)
         return sampler_lib.encode_prompt_sdxl(
             self.params["text1"], c.text1, self.params["text2"], c.text2,
             jnp.asarray(ids1), jnp.asarray(ids2),
@@ -396,8 +420,8 @@ class InstructAny2PixPipeline:
 
     def _encode_prior_text(self, prompt: str = ""):
         c = self.cfg
-        ids = _tokenize_pad(
-            self.tokenizer, prompt, c.prior.text_len, c.prior_text.eos_token_id
+        ids = self._clip_ids(
+            self.prior_tok, prompt, c.prior.text_len, c.prior_text.eos_token_id
         )
         out = clip_lib.text_apply(self.params["prior_text"], jnp.asarray(ids), c.prior_text)
         return out["last_hidden_state"], jnp.ones(ids.shape, jnp.float32)
@@ -434,8 +458,11 @@ class InstructAny2PixPipeline:
         c = self.cfg
         kc = KeyChain(seed if seed is not None else np.random.randint(0, 2**31))
 
+        # seed discipline: the `seed` kwarg drives every sampling site,
+        # including the LLM's — same seed ⇒ identical edit (the
+        # reference's torch.manual_seed contract, serve.py:40)
         image_embeds, base_embed, output_caption, base_img_path, extra_data = (
-            self.forward_llm(inst, mm_data, use_cache=use_cache)
+            self.forward_llm(inst, mm_data, use_cache=use_cache, key=kc())
         )
         self.cache = (image_embeds, base_embed, output_caption, base_img_path, extra_data)
         if llm_only or image_embeds is None:
@@ -508,14 +535,14 @@ class InstructAny2PixPipeline:
         # refiner (reference pipeline.py:358-359)
         if refinement > 0:
             rprompt = output_caption + ",high quality,well-formed,award-winning"
-            ids2 = _tokenize_pad(
-                self.tokenizer, rprompt, c.text2.max_positions, c.text2.eos_token_id
+            ids2 = self._clip_ids(
+                self.clip_tok2, rprompt, c.text2.max_positions, c.text2.eos_token_id
             )
             o2 = clip_lib.text_apply(self.params["text2"], jnp.asarray(ids2), c.text2)
             rctx = o2["hidden_states"][-2]
             rpooled = o2.get("text_embeds", o2["pooled"])
-            ids2n = _tokenize_pad(
-                self.tokenizer, "", c.text2.max_positions, c.text2.eos_token_id
+            ids2n = self._clip_ids(
+                self.clip_tok2, "", c.text2.max_positions, c.text2.eos_token_id
             )
             o2n = clip_lib.text_apply(self.params["text2"], jnp.asarray(ids2n), c.text2)
             # refiner time ids include the aesthetic score as 5th entry
