@@ -152,3 +152,28 @@ def mlp_proj_init(key, clip_embeddings_dim: int = 1024, cross_attention_dim: int
 def mlp_proj_apply(params, image_embeds):
     h = L.linear(params["fc2"], L.gelu(L.linear(params["fc1"], image_embeds)))
     return L.layer_norm(params["norm"], h)
+
+
+def aggregate_attn_maps(taps: dict, image_hw, batch_index: int = 1):
+    """Reference `get_net_attn_map` (ip_adapter/utils.py:46-59): per
+    layer take one CFG half, mean over heads, reshape pixel axis to its
+    2D grid, bilinear-upscale to `image_hw`, softmax over the n_ip axis,
+    then mean across layers. `taps` comes from
+    `unet.apply(..., capture_ip_attn=True)`."""
+    import jax
+
+    th, tw = image_hw
+    per_layer = []
+    for probs in taps.values():  # (B, heads, S, n_ip)
+        m = jnp.mean(probs[batch_index].astype(jnp.float32), axis=0)  # (S, n_ip)
+        s, n_ip = m.shape
+        # infer the layer's square grid from the pixel count
+        side = int(round(s**0.5))
+        if side * side != s:
+            continue
+        grid = m.T.reshape(n_ip, side, side)
+        up = jax.image.resize(grid, (n_ip, th, tw), "bilinear")
+        per_layer.append(jax.nn.softmax(up, axis=0))
+    if not per_layer:
+        return None
+    return jnp.mean(jnp.stack(per_layer), axis=0)  # (n_ip, H, W)

@@ -8,16 +8,20 @@ each step — `hiddens[i]` is the state that *sampled* `tokens[i]`,
 matching the reference readout `hidden_states[i][-1][:, -1:]`
 (pipeline.py:236 and the assert at pipeline.py:214).
 
-Stopping: the vicuna_v1 stop keyword is `</s>` (= EOS token id); the
-scan is fixed-length with a done flag, and the host trims at the first
-EOS — byte-equivalent to `KeywordsStoppingCriteria` (reference
-llm/mm_utils.py:77-107) for single-token keywords.
+Stopping: EOS always stops; `stop_sequences` adds arbitrary multi-token
+keyword stopping — the jit-compatible counterpart of the reference's
+`KeywordsStoppingCriteria` (llm/mm_utils.py:77-107), implemented as a
+rolling window of the last K emitted ids matched against each keyword's
+id suffix inside the scan. The scan is fixed-length with a done flag;
+the host trims at `done_at` (index of EOS or of the keyword's final
+token, so the keyword itself survives into the decoded text like the
+reference's criteria, which stop *after* the keyword is emitted).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,13 +32,29 @@ from ..models import llama
 class GenerateResult(NamedTuple):
     tokens: jax.Array  # (B, T) sampled ids (garbage after EOS)
     hiddens: jax.Array  # (B, T, D) hidden that predicted tokens[:, i]
-    done_at: jax.Array  # (B,) index of first EOS (T if none)
+    done_at: jax.Array  # (B,) index of first stop token (T if none)
+
+
+def keyword_stop_sequences(tokenizer, keywords: Sequence[str]) -> Tuple[Tuple[int, ...], ...]:
+    """Keyword strings → token-id suffixes for `generate(stop_sequences=)`.
+    Mirrors the reference's id-level path (mm_utils.py:84-92): encode
+    each keyword, drop a leading BOS if the tokenizer added one."""
+    out = []
+    for kw in keywords:
+        ids = list(tokenizer.encode(kw) if hasattr(tokenizer, "encode") else tokenizer(kw).input_ids)
+        bos = getattr(tokenizer, "bos_token_id", None)
+        if len(ids) > 1 and bos is not None and ids[0] == bos:
+            ids = ids[1:]
+        if ids:
+            out.append(tuple(int(i) for i in ids))
+    return tuple(out)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_new_tokens", "temperature", "eos_id", "max_len", "bucket"
+        "cfg", "max_new_tokens", "temperature", "eos_id", "max_len", "bucket",
+        "stop_sequences",
     ),
 )
 def generate(
@@ -47,6 +67,7 @@ def generate(
     eos_id: int = 2,
     max_len: Optional[int] = None,
     bucket: Optional[int] = None,
+    stop_sequences: Tuple[Tuple[int, ...], ...] = (),
 ) -> GenerateResult:
     b, s, _ = inputs_embeds.shape
     # prompt-length bucketing: left-pad to a multiple of `bucket` so the
@@ -77,29 +98,53 @@ def generate(
             return jnp.argmax(logits, axis=-1)
         return jax.random.categorical(k, logits.astype(jnp.float32) / temperature)
 
+    # rolling window of the last K emitted ids for keyword matching
+    k_win = max([len(sq) for sq in stop_sequences], default=0)
+
+    def push(recent, tok):
+        if k_win == 0:
+            return recent
+        return jnp.concatenate([recent[:, 1:], tok[:, None]], axis=1)
+
+    def match_stop(recent, tok):
+        """True where the newest suffix completes EOS or any keyword."""
+        m = tok == eos_id
+        for sq in stop_sequences:
+            seq = jnp.asarray(sq, recent.dtype) if k_win else None
+            m = m | jnp.all(recent[:, k_win - len(sq):] == seq, axis=1)
+        return m
+
     key, k0 = jax.random.split(key)
     tok0 = sample(logits_last, k0)
+    recent0 = jnp.full((b, max(k_win, 1)), -1, tok0.dtype)
+    recent0 = push(recent0, tok0) if k_win else recent0
+    stop0 = match_stop(recent0, tok0)
 
     def step(carry, _):
-        cache, tok, done, key = carry
+        cache, tok, recent, done, key = carry
         key, k = jax.random.split(key)
         emb = llama.embed(params, tok[:, None])
         out = llama.forward(
             params, cfg, inputs_embeds=emb, cache=cache,
             prefix_pad=prefix_pad or None,
         )
-        done = done | (tok == eos_id)
         nxt = jnp.where(done, eos_id, sample(out["logits"][:, -1], k))
-        return (out["cache"], nxt, done, key), (nxt, out["hidden_norm"][:, -1])
+        recent = push(recent, nxt)
+        stop = match_stop(recent, nxt)
+        done_next = done | stop
+        return (out["cache"], nxt, recent, done_next, key), (
+            nxt, out["hidden_norm"][:, -1], stop & ~done
+        )
 
-    done0 = tok0 == eos_id
-    carry = (cache, tok0, done0, key)
-    (_, _, _, _), (toks, hids) = jax.lax.scan(step, carry, None, length=max_new_tokens - 1)
+    carry = (cache, tok0, recent0, stop0, key)
+    (_, _, _, _, _), (toks, hids, stops) = jax.lax.scan(
+        step, carry, None, length=max_new_tokens - 1
+    )
 
     tokens = jnp.concatenate([tok0[:, None], jnp.moveaxis(toks, 0, 1)], axis=1)
     hiddens = jnp.concatenate([h_last[:, None], jnp.moveaxis(hids, 0, 1)], axis=1)
-    is_eos = tokens == eos_id
+    stopped = jnp.concatenate([stop0[:, None], jnp.moveaxis(stops, 0, 1)], axis=1)
     done_at = jnp.where(
-        jnp.any(is_eos, axis=1), jnp.argmax(is_eos, axis=1), max_new_tokens
+        jnp.any(stopped, axis=1), jnp.argmax(stopped, axis=1), max_new_tokens
     )
     return GenerateResult(tokens, hiddens, done_at)

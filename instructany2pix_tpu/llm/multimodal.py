@@ -43,6 +43,10 @@ class Any2PixLMConfig:
     llama: llama.LlamaConfig = llama.LlamaConfig.vicuna_7b()
     image_codec_dim: int = 1024  # ImageBind/CLIP embedding dim
     audio_codec_dim: int = 768
+    # discrete VQ codecs: predictor outputs codebook logits (reference
+    # build_vision_predictor with vocab_size out); None = continuous
+    image_vocab_size: Optional[int] = None
+    audio_vocab_size: Optional[int] = None
     video_token_id: int = 32004  # <video> — 5th of 9 added tokens
     im_gen_token_id: int = 32000
     audio_gen_token_id: int = 32001
@@ -95,8 +99,12 @@ def init(key, cfg: Any2PixLMConfig):
         "llama": llama.init(kc(), cfg.llama),
         "vae_projector_image": _projector_init(kc, cfg.image_codec_dim, d),
         "vae_projector_audio": _projector_init(kc, cfg.audio_codec_dim, d),
-        "vae_predictor_image": _predictor_init(kc, d, cfg.image_codec_dim),
-        "vae_predictor_audio": _predictor_init(kc, d, cfg.audio_codec_dim),
+        "vae_predictor_image": _predictor_init(
+            kc, d, cfg.image_vocab_size or cfg.image_codec_dim
+        ),
+        "vae_predictor_audio": _predictor_init(
+            kc, d, cfg.audio_vocab_size or cfg.audio_codec_dim
+        ),
     }
 
 
@@ -140,23 +148,23 @@ def splice_input_embeds(
 def splice_audio_inputs(
     params,
     cfg: Any2PixLMConfig,
-    input_ids: jax.Array,
-    embeds: jax.Array,
-    audio_frames: Optional[jax.Array] = None,  # (Na, 8, audio_codec_dim)
+    input_ids: jax.Array,  # (B, S)
+    embeds: jax.Array,  # (B, S, D)
+    audio_frames: Optional[jax.Array] = None,  # (B, F, audio_codec_dim)
 ) -> jax.Array:
-    """`extra_inputs` audio path: consecutive `<audio>` tokens take
-    projected codec frames, 8 per clip (reference
-    any2pix_llama.py:311-322)."""
-    if audio_frames is None or audio_frames.shape[0] == 0:
+    """`extra_inputs` audio path: the j-th `<audio>` token of row b takes
+    the projected codec frame `audio_frames[b, j]` (reference
+    any2pix_llama.py:311-322 — 8 consecutive `<audio>` tokens per clip).
+    Batch-aware: frame ordering restarts per row."""
+    if audio_frames is None or audio_frames.shape[1] == 0:
         return embeds
-    na, fr, _ = audio_frames.shape
-    proj = _projector(params["vae_projector_audio"], audio_frames)  # (Na,8,D)
-    flat = proj.reshape(na * fr, -1)
+    f = audio_frames.shape[1]
+    proj = _projector(params["vae_projector_audio"], audio_frames)  # (B,F,D)
     is_aud = input_ids == cfg.audio_token_id
-    order = jnp.cumsum(is_aud, axis=1) - 1
-    safe = jnp.clip(order, 0, na * fr - 1)
-    rows = flat[safe]
-    use = is_aud & (order < na * fr)
+    order = jnp.cumsum(is_aud, axis=1) - 1  # per-row frame index
+    safe = jnp.clip(order, 0, f - 1)
+    rows = jnp.take_along_axis(proj, safe[..., None], axis=1)  # (B,S,D)
+    use = is_aud & (order < f)
     return jnp.where(use[..., None], rows.astype(embeds.dtype), embeds)
 
 
@@ -199,6 +207,11 @@ def train_forward(
         embeds = jnp.where(
             batch["gen_mask_audio"][..., None], proj.astype(embeds.dtype), embeds
         )
+    # extra_inputs audio: <audio> tokens take projected input-codec frames
+    if "extra_audio_frames" in batch:
+        embeds = splice_audio_inputs(
+            params, cfg, ids, embeds, batch["extra_audio_frames"]
+        )
 
     out = llama.forward(
         params["llama"],
@@ -220,7 +233,11 @@ def train_forward(
     individual["loss_lang"] = loss_lang
     loss = loss_lang
 
-    # continuous codec heads: hidden[p-1] predicts target[p], MSE × dim
+    # codec heads (reference any2pix_llama.py:377-415): hidden[p-1]
+    # predicts target[p]. Continuous latents → MSE × dim; discrete VQ
+    # codebooks → plain cross-entropy over codebook logits (the
+    # `img_loss_obj == 'ar'` branch; the predictor's out dim is then the
+    # codebook vocab size, build_vision_predictor semantics).
     def head_loss(pred_fn, target, mask):
         pred = pred_fn(hidden[:, :-1])  # (B, S-1, D)
         tgt = target[:, 1:]
@@ -230,7 +247,24 @@ def train_forward(
         denom = jnp.maximum(jnp.sum(m) * d, 1.0)
         return jnp.sum(se) / denom * d  # MSELoss mean × dim
 
-    if "gen_target_image" in batch:
+    def ce_head_loss(pred_fn, indices, mask):
+        logits = pred_fn(hidden[:, :-1]).astype(jnp.float32)  # (B,S-1,V)
+        tgt = indices[:, 1:]
+        m = mask[:, 1:].astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        safe = jnp.clip(tgt, 0, logits.shape[-1] - 1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)  # no ×dim
+
+    if "gen_index_image" in batch:
+        li = ce_head_loss(
+            lambda h: _predictor(params["vae_predictor_image"], h),
+            batch["gen_index_image"],
+            batch["gen_mask_image"],
+        )
+        individual["loss_img"] = li
+        loss = loss + li
+    elif "gen_target_image" in batch:
         li = head_loss(
             lambda h: _predictor(params["vae_predictor_image"], h),
             batch["gen_target_image"],
@@ -238,7 +272,15 @@ def train_forward(
         )
         individual["loss_img"] = li
         loss = loss + li
-    if "gen_target_audio" in batch:
+    if "gen_index_audio" in batch:
+        la = ce_head_loss(
+            lambda h: _predictor(params["vae_predictor_audio"], h),
+            batch["gen_index_audio"],
+            batch["gen_mask_audio"],
+        )
+        individual["loss_aud"] = la
+        loss = loss + la
+    elif "gen_target_audio" in batch:
         la = head_loss(
             lambda h: _predictor(params["vae_predictor_audio"], h),
             batch["gen_target_audio"],

@@ -156,7 +156,7 @@ def _attn_init(kc, dim, ctx_dim, heads, with_ip=False):
     return p
 
 
-def _attn(p, x, ctx, heads, ip_tokens=None, ip_scale=1.0):
+def _attn(p, x, ctx, heads, ip_tokens=None, ip_scale=1.0, taps=None, tap_key=None):
     b, s, d = x.shape
     hd = d // heads
     q = L.linear(p["to_q"], x).reshape(b, s, heads, hd)
@@ -166,7 +166,18 @@ def _attn(p, x, ctx, heads, ip_tokens=None, ip_scale=1.0):
     if ip_tokens is not None and "to_k_ip" in p:
         k_ip = L.linear(p["to_k_ip"], ip_tokens).reshape(b, -1, heads, hd)
         v_ip = L.linear(p["to_v_ip"], ip_tokens).reshape(b, -1, heads, hd)
-        o_ip = dot_product_attention(q, k_ip, v_ip).reshape(b, s, d)
+        if taps is not None:
+            # attention-map capture tap (reference
+            # attention_processor.py:169 `self.attn_map =
+            # ip_attention_probs`): explicit probs @ v so the captured
+            # map IS the applied attention
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_ip).astype(jnp.float32)
+            probs = jax.nn.softmax(logits / jnp.sqrt(float(hd)), axis=-1)
+            taps[tap_key] = probs  # (B, heads, S, n_ip)
+            o_ip = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_ip.dtype), v_ip)
+            o_ip = o_ip.reshape(b, s, d)
+        else:
+            o_ip = dot_product_attention(q, k_ip, v_ip).reshape(b, s, d)
         o = o + ip_scale * o_ip
     return L.linear(p["to_out"], o)
 
@@ -183,11 +194,11 @@ def _tblock_init(kc, dim, ctx_dim, heads, with_ip):
     }
 
 
-def _tblock(p, x, ctx, heads, ip_tokens, ip_scale):
+def _tblock(p, x, ctx, heads, ip_tokens, ip_scale, taps=None, tap_key=None):
     h = L.layer_norm(p["norm1"], x)
     x = x + _attn(p["attn1"], h, h, heads)
     h = L.layer_norm(p["norm2"], x)
-    x = x + _attn(p["attn2"], h, ctx, heads, ip_tokens, ip_scale)
+    x = x + _attn(p["attn2"], h, ctx, heads, ip_tokens, ip_scale, taps, tap_key)
     h = L.layer_norm(p["norm3"], x)
     h = L.linear(p["ff_in"], h)
     a, g = jnp.split(h, 2, axis=-1)
@@ -206,7 +217,10 @@ def _transformer_init(kc, c, ctx_dim, heads, depth, with_ip, use_linear):
     return p
 
 
-def _transformer(p, x, ctx, heads, depth, groups, use_linear, ip_tokens, ip_scale):
+def _transformer(
+    p, x, ctx, heads, depth, groups, use_linear, ip_tokens, ip_scale,
+    taps=None, tap_prefix="",
+):
     b, hh, ww, c = x.shape
     res = x
     # diffusers Transformer2DModel hardcodes GroupNorm eps=1e-6 (resnets
@@ -218,7 +232,10 @@ def _transformer(p, x, ctx, heads, depth, groups, use_linear, ip_tokens, ip_scal
     else:
         h = L.conv2d(p["proj_in"], h).reshape(b, hh * ww, c)
     for i in range(depth):
-        h = _tblock(p[f"block_{i}"], h, ctx, heads, ip_tokens, ip_scale)
+        h = _tblock(
+            p[f"block_{i}"], h, ctx, heads, ip_tokens, ip_scale,
+            taps, f"{tap_prefix}.block_{i}" if taps is not None else None,
+        )
     if use_linear:
         h = L.linear(p["proj_out"], h).reshape(b, hh, ww, c)
     else:
@@ -331,7 +348,12 @@ def apply(
     time_ids: Optional[jax.Array] = None,  # (B, 6)
     ip_tokens: Optional[jax.Array] = None,  # (B, n_ip, cross_attention_dim)
     ip_scale: float = 1.0,
+    capture_ip_attn: bool = False,
 ) -> jax.Array:
+    """When `capture_ip_attn` is set, returns `(eps, taps)` where taps
+    maps layer paths → IP attention probs (B, heads, S_pixels, n_ip) —
+    the reference's interpretability tap (ip_adapter/utils.py:7-59)."""
+    taps: Optional[dict] = {} if capture_ip_attn else None
     g = cfg.norm_num_groups
     b = sample.shape[0]
     t = jnp.broadcast_to(jnp.asarray(timestep), (b,))
@@ -376,6 +398,8 @@ def apply(
                     cfg.use_linear_projection,
                     ip_tokens,
                     ip_scale,
+                    taps,
+                    f"down_{i}.attn_{j}",
                 )
             skips.append(h)
         if "down" in blk:
@@ -397,6 +421,8 @@ def apply(
             cfg.use_linear_projection,
             ip_tokens,
             ip_scale,
+            taps,
+            "mid.attn",
         )
     h = _resnet(mid["res_1"], h, temb, g)
 
@@ -420,6 +446,8 @@ def apply(
                     cfg.use_linear_projection,
                     ip_tokens,
                     ip_scale,
+                    taps,
+                    f"up_{i}.attn_{j}",
                 )
         if "up" in blk:
             bb, hh, ww, c = h.shape
@@ -427,4 +455,7 @@ def apply(
             h = L.conv2d(blk["up"], h)
 
     h = L.group_norm(params["norm_out"], h, g, silu=True)
-    return L.conv2d(params["conv_out"], h)
+    out = L.conv2d(params["conv_out"], h)
+    if capture_ip_attn:
+        return out, taps
+    return out

@@ -395,8 +395,11 @@ class InstructAny2PixPipeline:
     def get_all_objs(s: str) -> List[str]:
         """Parse `additions:<name>:<video>.` subject suffix (reference
         pipeline.py:281-287)."""
-        matched = re.findall(r"additions:(.*)\</s\>", s)
-        if not matched:
+        # the reference anchors on a trailing `</s>`; HF tokenizers with
+        # skip_special_tokens semantics may strip it, so end-of-string is
+        # an accepted terminator too
+        matched = re.findall(r"additions:(.*?)(?:\</s\>|$)", s, re.DOTALL)
+        if not matched or not matched[0]:
             return []
         return re.findall(r"([^:]+):<video>", matched[0])
 
@@ -588,7 +591,20 @@ class InstructAny2PixPipeline:
         if not debug:
             msg: Any = "SUCCESS!"
         else:
+            # attention-map tap (reference ip_adapter/utils.py:7-59 +
+            # attention_processor.py:169): one extra conditioned UNet
+            # forward at the final latent captures per-layer IP attention
+            # probs; aggregated like the reference's get_net_attn_map
+            _, attn_taps = unet_lib.apply(
+                self.params["unet"], lat, jnp.zeros((1,), jnp.int32), ctx_p,
+                c.unet, pooled_text=pooled_p, time_ids=tid,
+                ip_tokens=ip_cond, ip_scale=scale, capture_ip_attn=True,
+            )
+            attn_maps = ipa.aggregate_attn_maps(
+                attn_taps, (c.image_size, c.image_size), batch_index=0
+            )
             msg = dict(
+                attn_maps=attn_maps,
                 output_caption=output_caption,
                 latent_inv=latent_inv,
                 img_base=img_base,

@@ -43,6 +43,7 @@ class DataConfig:
     embed_norm: float = 20.0
     audio_gen_len: int = 8
     image_gen_len: int = 1
+    audio_codec_dim: int = 768
 
 
 class MediaMap:
@@ -63,6 +64,19 @@ class MediaMap:
         x = np.load(full)["state"].astype(np.float32).reshape(-1)
         n = np.linalg.norm(x)
         return x / (n + 1e-9) * norm if n > 0 else x
+
+    def get_frames(
+        self, caption: str, frames: int, dim: int, norm: float = 20.0
+    ) -> np.ndarray:
+        """Frame-sequence lookup (audio codec path): the stored feature
+        reshaped/resized to (frames, dim), each frame renormed."""
+        path = self.mapping.get(caption)
+        if path is None or not os.path.exists(os.path.join(self.root, path)):
+            return np.zeros((frames, dim), np.float32)
+        x = np.load(os.path.join(self.root, path))["state"].astype(np.float32)
+        x = np.resize(x.reshape(-1), (frames, dim))
+        n = np.linalg.norm(x, axis=-1, keepdims=True)
+        return np.where(n > 0, x / (n + 1e-9) * norm, x)
 
     def get_batch(self, captions, norm: float = 20.0) -> np.ndarray:
         """Batched lookup through the native threaded loader (falls back
@@ -98,8 +112,22 @@ def rewrite_example(
     replacements: List = []
     turns = []
     base_caption = example.get("base", None)
+    # `multimodal_input` audio clip (reference train.py:455-466): the
+    # human turn's single `<audio>` marker expands to 8 `<audio>` tokens
+    # whose embeddings are the clip's codec frames (`extra_inputs`)
+    extra_audio = None
+    mm_in = example.get("multimodal_input")
+    if mm_in is not None and mm_in.get("type") == "audio":
+        extra_audio = media.get_frames(
+            mm_in.get("src", ""), cfg.audio_gen_len, cfg.audio_codec_dim,
+            cfg.embed_norm,
+        )
     for turn in example["conversations"]:
         text = turn["value"]
+        if extra_audio is not None and turn["from"] == "human":
+            text = text.replace(
+                C.DEFAULT_AUDIO_TOKEN, C.DEFAULT_AUDIO_TOKEN * cfg.audio_gen_len
+            )
         if turn["from"] == "human":
             def sub_human(m):
                 cap = m.group(1)
@@ -147,6 +175,7 @@ def rewrite_example(
         "replacements": replacements,
         "gen_modality": example.get("modality", "image"),
         "gen_target": gen_target,
+        "extra_audio": extra_audio,
     }
 
 
@@ -208,6 +237,8 @@ def collate(
     gen_m_img = np.zeros((b, s), bool)
     gen_t_aud = np.zeros((b, s, audio_codec_dim), np.float32)
     gen_m_aud = np.zeros((b, s), bool)
+    extra_aud = np.zeros((b, cfg.audio_gen_len, audio_codec_dim), np.float32)
+    any_extra_aud = False
 
     vid_id = token_ids[C.DEFAULT_VIDEO_TOKEN]
     im_gen_id = token_ids[C.DEFAULT_IM_GEN_TOKEN]
@@ -237,11 +268,16 @@ def collate(
                 for k, p in enumerate(np.where(ids == aud_gen_id)[0]):
                     gen_t_aud[bi, p] = frames[min(k, cfg.audio_gen_len - 1)]
                     gen_m_aud[bi, p] = True
+        if ex.get("extra_audio") is not None:
+            extra_aud[bi] = np.asarray(ex["extra_audio"], np.float32)[
+                : cfg.audio_gen_len, :audio_codec_dim
+            ]
+            any_extra_aud = True
         # gen tokens are splice targets, not CE targets
         labels[bi][input_ids[bi] == im_gen_id] = C.IGNORE_INDEX
         labels[bi][input_ids[bi] == aud_gen_id] = C.IGNORE_INDEX
 
-    return {
+    out = {
         "input_ids": input_ids,
         "labels": labels,
         "attention_mask": attn,
@@ -252,6 +288,9 @@ def collate(
         "gen_target_audio": gen_t_aud,
         "gen_mask_audio": gen_m_aud,
     }
+    if any_extra_aud:
+        out["extra_audio_frames"] = extra_aud
+    return out
 
 
 class InstructionDataset:

@@ -105,6 +105,49 @@ def test_train_forward_losses_and_grads(rng):
     assert float(ind2["loss_img"]) > float(ind["loss_img"])
 
 
+def test_train_forward_discrete_ce_head(rng):
+    """Discrete VQ codec: CE over codebook logits at gen positions, no
+    ×dim scaling (reference any2pix_llama.py:377-395 `img_loss_obj='ar'`
+    branch); predictor out dim = codebook vocab size."""
+    import dataclasses
+
+    from instructany2pix_tpu.llm import multimodal as mm
+    from instructany2pix_tpu.llm.tokenizer import ByteTokenizer, initialize_vision_tokenizer
+
+    tok = ByteTokenizer()
+    token_ids = initialize_vision_tokenizer(tok)
+    vocab_vq = 32
+    cfg = dataclasses.replace(mm.Any2PixLMConfig.tiny(token_ids), image_vocab_size=vocab_vq)
+    params = mm.init(rng, cfg)
+    assert params["vae_predictor_image"]["fc2"]["w"].shape[-1] == vocab_vq
+
+    b, s = 2, 12
+    rs = np.random.RandomState(0)
+    ids = rs.randint(3, 250, (b, s))
+    ids[:, 4] = cfg.im_gen_token_id
+    labels = ids.copy()
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "attention_mask": jnp.ones((b, s), bool),
+        # quantized embeddings still drive the input splice
+        "gen_target_image": jnp.asarray(rs.randn(b, s, cfg.image_codec_dim), jnp.float32),
+        "gen_mask_image": jnp.asarray(ids == cfg.im_gen_token_id),
+        "gen_index_image": jnp.asarray(rs.randint(0, vocab_vq, (b, s))),
+    }
+    loss, ind = mm.train_forward(params, cfg, batch)
+    assert np.isfinite(float(loss))
+    assert "loss_img" in ind
+    # CE magnitude sanity: near log(V) for a random head, NOT scaled by dim
+    assert float(ind["loss_img"]) < 3 * np.log(vocab_vq)
+    # gradient flows into the predictor head
+    g = jax.grad(lambda p: mm.train_forward(p, cfg, batch)[0])(params)
+    gmax = max(
+        float(jnp.max(jnp.abs(x))) for x in jax.tree.leaves(g["vae_predictor_image"])
+    )
+    assert gmax > 0
+
+
 def test_generate_greedy_matches_full_forward(rng):
     cfg = llama.LlamaConfig.tiny()
     params = llama.init(rng, cfg)
@@ -149,6 +192,46 @@ def test_generate_stops_at_eos(rng):
     )
     assert int(res.done_at[0]) == 0
     assert np.all(np.asarray(res.tokens[0]) == first)
+
+
+def test_generate_multitoken_keyword_stop(rng):
+    """`stop_sequences` halts generation when the last K emitted ids
+    match a keyword's id suffix — the reference's
+    KeywordsStoppingCriteria for arbitrary strings (mm_utils.py:77-107)."""
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init(rng, cfg)
+    ids = jnp.asarray([[1, 5, 9, 20]])
+    emb = llama.embed(params, ids)
+    base = gen_lib.generate(
+        params, cfg, emb, jax.random.key(0), max_new_tokens=8, temperature=0.0,
+        eos_id=2, max_len=24,
+    )
+    toks = list(np.asarray(base.tokens[0]))
+    # pick the greedy tokens at steps 1-2 as a 2-token stop keyword
+    kw = (int(toks[1]), int(toks[2]))
+    res = gen_lib.generate(
+        params, cfg, emb, jax.random.key(0), max_new_tokens=8, temperature=0.0,
+        eos_id=2, max_len=24, stop_sequences=(kw,),
+    )
+    assert int(res.done_at[0]) == 2  # index of the keyword's final token
+    # tokens up to and including the keyword are unchanged
+    assert list(np.asarray(res.tokens[0, :3])) == toks[:3]
+    # a keyword that never occurs changes nothing
+    res2 = gen_lib.generate(
+        params, cfg, emb, jax.random.key(0), max_new_tokens=8, temperature=0.0,
+        eos_id=2, max_len=24, stop_sequences=((123456 % cfg.vocab_size, 1, 1),),
+    )
+    np.testing.assert_array_equal(np.asarray(res2.tokens), np.asarray(base.tokens))
+    np.testing.assert_array_equal(np.asarray(res2.done_at), np.asarray(base.done_at))
+
+
+def test_keyword_stop_sequences_helper():
+    from instructany2pix_tpu.llm.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    seqs = gen_lib.keyword_stop_sequences(tok, ["ab", "</s>"])
+    assert seqs[0] == (3 + ord("a"), 3 + ord("b"))
+    assert seqs[1] == (tok.eos_token_id,)
 
 
 def test_generate_bucketed_matches_unbucketed(rng):

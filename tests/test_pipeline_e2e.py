@@ -90,6 +90,11 @@ def test_full_edit_debug_dict_and_subjects(pipe, media):
     assert set(msg) >= {"output_caption", "latent_inv", "latent_la", "base_embed", "y"}
     assert msg["annotations"] is not None
     assert msg["annotations"]["phrases"] == ["cat"]
+    # IP attention-map tap (reference ip_adapter/utils.py:7-59)
+    am = msg["attn_maps"]
+    assert am is not None and am.ndim == 3
+    assert am.shape[1:] == (pipe.cfg.image_size, pipe.cfg.image_size)
+    assert np.isfinite(np.asarray(am)).all()
 
 
 def test_seed_reproducibility(pipe, media):

@@ -93,6 +93,43 @@ class TestTrainData:
         assert (batch["labels"][0] == -100).sum() > 0
         assert (batch["labels"][0] != -100).sum() > 0
 
+    def test_multimodal_input_audio_extra_inputs(self, tmp_path):
+        """`multimodal_input` audio: `<audio>` expands ×8 in the human
+        turn, the collator emits (B, 8, D) codec frames, and
+        train_forward splices them (reference train.py:455-466 +
+        any2pix_llama.py:311-322)."""
+        tok = ByteTokenizer()
+        token_ids = initialize_vision_tokenizer(tok)
+        dp, media = _toy_dataset(tmp_path)
+        cfg = data_lib.DataConfig(
+            max_length=512, video_prob=1.0, base_drop_prob=0.0, audio_codec_dim=8
+        )
+        rec = {
+            "conversations": [
+                {"from": "human", "value": "what image matches <audio>?"},
+                {"from": "gpt", "value": "[a dog photo]"},
+            ],
+            "target": "target img",
+            "modality": "image",
+            "multimodal_input": {"type": "audio", "src": "a dog"},
+        }
+        ex = data_lib.rewrite_example(rec, media, cfg, np.random.RandomState(0))
+        assert ex["extra_audio"].shape == (8, 8)
+        assert ex["conversations"][0]["value"].count("<audio>") == 8
+        batch_np = data_lib.collate([ex], tok, token_ids, cfg, codec_dim=16,
+                                    audio_codec_dim=8)
+        assert batch_np["extra_audio_frames"].shape == (1, 8, 8)
+        aud_id = token_ids["<audio>"]
+        assert (batch_np["input_ids"] == aud_id).sum() == 8
+        # splice changes the loss vs dropping the frames
+        lm_cfg = mm.Any2PixLMConfig.tiny(token_ids)
+        params = mm.init(jax.random.key(0), lm_cfg)
+        batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
+        loss_a, _ = mm.train_forward(params, lm_cfg, batch)
+        batch_no = {k: v for k, v in batch.items() if k != "extra_audio_frames"}
+        loss_b, _ = mm.train_forward(params, lm_cfg, batch_no)
+        assert np.isfinite(float(loss_a)) and float(loss_a) != float(loss_b)
+
     def test_length_grouped_indices_cover_all(self):
         lengths = [5, -3, 10, 2, -8, 1]
         idx = data_lib.length_grouped_indices(lengths, 2, np.random.RandomState(0))
