@@ -81,6 +81,43 @@ def apply(
     return L.layer_norm(params["norm"], tok)
 
 
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def preprocess_clip_image(image, image_size: int = 224) -> jax.Array:
+    """CLIPImageProcessor semantics (the reference's
+    `clip_image_processor`, ip_adapter.py:99,179): shortest-side resize,
+    center crop, rescale to [0,1], CLIP mean/std normalize. Accepts one
+    HWC uint8/float array or a list of them; returns (B, H, W, 3)."""
+    import numpy as np
+
+    from ..codecs import image_io
+
+    if not isinstance(image, (list, tuple)):
+        image = [image]
+    out = []
+    for img in image:
+        arr = np.asarray(img)
+        arr = image_io.resize_center_crop(arr, image_size).astype(np.float32)
+        if arr.max() > 1.5:  # uint8-range input
+            arr = arr / 255.0
+        arr = (arr - np.asarray(CLIP_IMAGE_MEAN)) / np.asarray(CLIP_IMAGE_STD)
+        out.append(arr)
+    return jnp.asarray(np.stack(out), jnp.float32)
+
+
+def encode_clip_image(vision_params, vision_cfg, image) -> jax.Array:
+    """image(s) → projected CLIP image embeds — the reference's h94
+    image-encoder path (`self.image_encoder(...).image_embeds`,
+    ip_adapter.py:180)."""
+    from ..models import clip as clip_lib
+
+    pixels = preprocess_clip_image(image, vision_cfg.image_size)
+    out = clip_lib.vision_apply(vision_params, pixels, vision_cfg)
+    return out["image_embeds"]
+
+
 def get_image_embeds(
     params,
     cfg: ImageProjConfig,
@@ -89,9 +126,20 @@ def get_image_embeds(
     mode: str = "global",
     scale_g: float = 1.0,
     scale_l: float = 1.0,
+    image=None,  # raw image(s) → encoded via image_encoder
+    image_local=None,
+    image_encoder: Optional[tuple] = None,  # (vision_params, vision_cfg)
 ) -> Tuple[jax.Array, jax.Array]:
     """→ (cond_tokens, uncond_tokens), reference ip_adapter.py:171-209.
-    A missing view is zero-filled; uncond always projects zeros."""
+    Raw images run through the CLIP image encoder when given (the
+    reference's `pil_image`/`pil_image_local` path); a missing view is
+    zero-filled; uncond always projects zeros."""
+    if image is not None:
+        assert image_encoder is not None, "image input needs image_encoder"
+        clip_image_embeds = encode_clip_image(*image_encoder, image)
+    if image_local is not None:
+        assert image_encoder is not None, "image input needs image_encoder"
+        clip_image_embeds_local = encode_clip_image(*image_encoder, image_local)
     if clip_image_embeds is None:
         assert clip_image_embeds_local is not None
         clip_image_embeds = jnp.zeros_like(clip_image_embeds_local)

@@ -68,26 +68,33 @@ def generate(
     max_len: Optional[int] = None,
     bucket: Optional[int] = None,
     stop_sequences: Tuple[Tuple[int, ...], ...] = (),
+    prefix_pads: Optional[jax.Array] = None,
 ) -> GenerateResult:
     b, s, _ = inputs_embeds.shape
     # prompt-length bucketing: left-pad to a multiple of `bucket` so the
     # number of distinct compiled graphs is bounded (serving latency);
-    # pad slots are masked out of attention and position numbering
-    prefix_pad = 0
-    if bucket is not None:
+    # pad slots are masked out of attention and position numbering.
+    # `prefix_pads` (B,) covers the batched-serving case: the caller
+    # already left-padded each row to a common length.
+    prefix_pad: object = 0
+    if prefix_pads is not None:
+        prefix_pad = prefix_pads
+    elif bucket is not None:
         padded = -(-s // bucket) * bucket
-        prefix_pad = padded - s
-        if prefix_pad:
-            inputs_embeds = jnp.pad(
-                inputs_embeds, ((0, 0), (prefix_pad, 0), (0, 0))
-            )
+        pp = padded - s
+        if pp:
+            inputs_embeds = jnp.pad(inputs_embeds, ((0, 0), (pp, 0), (0, 0)))
             s = padded
+        prefix_pad = pp
     max_len = max_len or (s + max_new_tokens)
+    pp_arg = prefix_pad if (
+        prefix_pads is not None or (isinstance(prefix_pad, int) and prefix_pad)
+    ) else None
     cache = llama.KVCache.create(cfg, b, max_len=max_len, dtype=inputs_embeds.dtype)
 
     out = llama.forward(
         params, cfg, inputs_embeds=inputs_embeds, cache=cache,
-        prefix_pad=prefix_pad or None,
+        prefix_pad=pp_arg,
     )
     cache = out["cache"]
     h_last = out["hidden_norm"][:, -1]  # predicts the first sampled token
@@ -126,7 +133,7 @@ def generate(
         emb = llama.embed(params, tok[:, None])
         out = llama.forward(
             params, cfg, inputs_embeds=emb, cache=cache,
-            prefix_pad=prefix_pad or None,
+            prefix_pad=pp_arg,
         )
         nxt = jnp.where(done, eos_id, sample(out["logits"][:, -1], k))
         recent = push(recent, nxt)

@@ -145,11 +145,13 @@ def _block(p, x, positions, cfg, mask, cache_kv=None, cache_len=None,
         max_len = ck.shape[1]
         row = cache_len + jnp.arange(s)[:, None]
         col = jnp.arange(max_len)[None, :]
-        valid = col <= row
+        valid = jnp.broadcast_to((col <= row)[None], (b, s, max_len))
         if prefix_pad is not None:
-            # left-padded prompt: pad slots [0, prefix_pad) never attend
-            valid = valid & (col >= prefix_pad)
-        attn_mask = jnp.broadcast_to(valid[None], (b, s, max_len))
+            # left-padded prompt: pad slots [0, prefix_pad) never attend;
+            # scalar (uniform) or (B,) per-row pad counts both broadcast
+            pp = jnp.asarray(prefix_pad).reshape(-1, 1, 1)
+            valid = valid & (col[None] >= pp)
+        attn_mask = valid
         o = dot_product_attention(
             q, ck.astype(q.dtype), cv.astype(q.dtype), mask=attn_mask, impl="xla"
         )
@@ -192,8 +194,11 @@ def forward(
         positions = jnp.arange(s)[None, :] + start
         if prefix_pad is not None:
             # left-padded prompt: content starts at prefix_pad; pad slots
-            # clamp to position 0 (they are masked out of attention)
-            positions = jnp.maximum(positions - prefix_pad, 0)
+            # clamp to position 0 (they are masked out of attention).
+            # Scalar or per-row (B,) pads both broadcast.
+            positions = jnp.maximum(
+                positions - jnp.asarray(prefix_pad).reshape(-1, 1), 0
+            )
         positions = jnp.broadcast_to(positions, (b, s))
 
     new_k, new_v = [], []

@@ -268,28 +268,9 @@ class InstructAny2PixPipeline:
             return self.cache
 
         with stage("imagebind_encode"):
-            embeds = [self._embed_media(r) for r in mm_data]
-        aux_info = (
-            jnp.concatenate(embeds, axis=0)
-            if embeds
-            else jnp.zeros((0, self.cfg.llm.image_codec_dim))
-        )
-        aux_info = (
-            aux_info
-            / (jnp.linalg.norm(aux_info, axis=-1, keepdims=True) + 1e-9)
-            * self.cfg.embed_norm
-        )
+            aux_info = self.embed_mm_data(mm_data)
 
-        conv = conv_templates["vicuna_v1"].copy()
-        conv.append_message(conv.roles[0], inst)
-        conv.append_message(conv.roles[1], None)
-        prompt = conv.get_prompt()
-        input_ids = np.asarray([self.tokenizer(prompt).input_ids], np.int64)
-
-        types = jnp.full((aux_info.shape[0],), REPLACEMENT_TYPE.INPUT, jnp.int32)
-        inputs_embeds = mm_lib.splice_input_embeds(
-            self.params["llm"], self.cfg.llm, jnp.asarray(input_ids), aux_info, types
-        )
+        input_ids, inputs_embeds = self._prepare_llm_inputs(inst, aux_info)
         eos_id = getattr(self.tokenizer, "eos_token_id", 2)
         with stage("llm_generate"):
             result = gen_lib.generate(
@@ -303,8 +284,46 @@ class InstructAny2PixPipeline:
                 bucket=64,  # bound compile count across prompt lengths
             )
         n_out = min(int(result.done_at[0]) + 1, result.tokens.shape[1])
-        out_seq = np.asarray(result.tokens[0, :n_out])
-        hiddens = result.hiddens[0, :n_out]
+        out = self._postprocess_llm(
+            np.asarray(result.tokens[0, :n_out]), result.hiddens[0, :n_out],
+            input_ids, aux_info, mm_data,
+        )
+        self.cache = out
+        return out
+
+    def _prepare_llm_inputs(self, inst: str, aux_info: jax.Array):
+        """instruction + conditioning embeds → (input_ids, spliced
+        embeds) — the pre-generate half of forward_llm, reusable by the
+        batched server."""
+        conv = conv_templates["vicuna_v1"].copy()
+        conv.append_message(conv.roles[0], inst)
+        conv.append_message(conv.roles[1], None)
+        prompt = conv.get_prompt()
+        input_ids = np.asarray([self.tokenizer(prompt).input_ids], np.int64)
+        types = jnp.full((aux_info.shape[0],), REPLACEMENT_TYPE.INPUT, jnp.int32)
+        inputs_embeds = mm_lib.splice_input_embeds(
+            self.params["llm"], self.cfg.llm, jnp.asarray(input_ids), aux_info, types
+        )
+        return input_ids, inputs_embeds
+
+    def embed_mm_data(self, mm_data: List[dict]) -> jax.Array:
+        """mm_data → renormed (N, D) conditioning matrix (aux_info)."""
+        embeds = [self._embed_media(r) for r in mm_data]
+        aux_info = (
+            jnp.concatenate(embeds, axis=0)
+            if embeds
+            else jnp.zeros((0, self.cfg.llm.image_codec_dim))
+        )
+        return (
+            aux_info
+            / (jnp.linalg.norm(aux_info, axis=-1, keepdims=True) + 1e-9)
+            * self.cfg.embed_norm
+        )
+
+    def _postprocess_llm(self, out_seq, hiddens, input_ids, aux_info, mm_data):
+        """Token bookkeeping after generation (reference
+        pipeline.py:213-279): gen-token location, predictor readouts,
+        base selection, subject parsing, caption extraction."""
         full_text = self.tokenizer.decode(
             list(input_ids[0]) + list(out_seq)
         )
@@ -351,7 +370,7 @@ class InstructAny2PixPipeline:
             base_embed = aux_np[0]
         else:
             base_pos = np.where(out_seq == base_id)[0]
-            if len(base_pos) and base_pos[0] + 1 < n_out:
+            if len(base_pos) and base_pos[0] + 1 < len(out_seq):
                 h_base = hiddens[int(base_pos[0]) + 1][None]
                 base_pred = np.asarray(
                     mm_lib.predict_image_embedding(self.params["llm"], h_base)
@@ -381,15 +400,13 @@ class InstructAny2PixPipeline:
         caption_groups = re.findall(r"\[([^\]]+)\]", full_text)
         output_caption = caption_groups[0] if caption_groups else full_text.split("ASSISTANT:")[-1]
         extra_data = dict(all_objs=all_objs, extra_embeds=extra_embeds, extra_idx=extra_idx)
-        out = (
+        return (
             jnp.asarray(image_embeds),
             jnp.asarray(base_embed),
             output_caption,
             base_img_path,
             extra_data,
         )
-        self.cache = out
-        return out
 
     @staticmethod
     def get_all_objs(s: str) -> List[str]:

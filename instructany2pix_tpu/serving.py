@@ -43,6 +43,9 @@ class EditRequest:
     pooled: np.ndarray
     pooled_uncond: np.ndarray
     ip_tokens: Optional[np.ndarray] = None  # (n, ctx_dim)
+    # uncond IP tokens (projection of zero embeds — NOT zero tokens,
+    # reference ip_adapter.py:205-209); zeros_like fallback when absent
+    ip_tokens_uncond: Optional[np.ndarray] = None
     guidance_scale: float = 10.0
     num_inference_steps: int = 25
 
@@ -164,7 +167,10 @@ class BatchedDenoiser:
         pooled_u = stack(lambda r: r.pooled_uncond)
         has_ip = reqs[0].ip_tokens is not None
         ip = stack(lambda r: r.ip_tokens) if has_ip else None
-        ip_u = jnp.zeros_like(ip) if has_ip else None
+        if has_ip and reqs[0].ip_tokens_uncond is not None:
+            ip_u = stack(lambda r: r.ip_tokens_uncond)
+        else:
+            ip_u = jnp.zeros_like(ip) if has_ip else None
         size = lat.shape[1] * 8
         tid = sampler_lib.default_time_ids(size, size, lat.shape[0])
 
@@ -221,3 +227,231 @@ def serve_http(scheduler: BatchScheduler, host: str = "0.0.0.0", port: int = 808
     app = web.Application()
     app.router.add_post("/edit", edit)
     web.run_app(app, host=host, port=port)
+
+
+# ---------------------------------------------------------- full pipeline
+
+
+@dataclasses.dataclass
+class PipelineRequest:
+    """Instruction-level request (what serve.run receives,
+    reference serve.py:14-45)."""
+
+    inst: str
+    mm_data: List[dict]
+    alpha: float = 0.7
+    h: tuple = (0.0, 0.4, 1.0)
+    norm: float = 20.0
+    num_inference_steps: int = 25
+    cfg: float = 10.0
+    scale: float = 1.0
+    refinement: float = 0.0
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    image: Optional[np.ndarray]
+    caption: str
+
+
+class PipelineServer:
+    """Batched full-pipeline server: every hot stage — LLM generation
+    (left-padded prompt batching), prior refinement, DDIM inversion, IP
+    denoise, VAE — runs ONCE per microbatch as a sharded jit over the
+    mesh, instead of per request (BASELINE.json config 5; the reference
+    serializes requests through a gradio queue, serve.py:115).
+
+    Batch compatibility (scheduler bucket): num_inference_steps, cfg,
+    refinement. Prompts of different lengths batch together via per-row
+    left-padding (generate(prefix_pads=...)); caption-only LLM outcomes
+    return without joining the diffusion stages. Subject consistency is
+    a per-request interactive feature and stays on the pipeline path.
+    """
+
+    def __init__(
+        self,
+        pipe,
+        mesh=None,
+        max_batch: int = 4,
+        max_wait_s: float = 0.05,
+        bucket: int = 64,
+        max_new_tokens: int = 100,
+        shard_model: bool = True,
+    ):
+        from .parallel import sharding as _sh
+
+        self.pipe = pipe
+        self.mesh = mesh or make_mesh(n_model=1)
+        self.bucket = bucket
+        self.max_new_tokens = max_new_tokens
+        multi = self.mesh.devices.size > 1 and shard_model
+        if multi:
+            pipe.params["llm"]["llama"] = _sh.apply_tp_rules(
+                pipe.params["llm"]["llama"], self.mesh, _sh.LLAMA_TP_RULES
+            )
+        self.denoiser = BatchedDenoiser(
+            pipe.params["unet"], pipe.cfg.unet, mesh=self.mesh,
+            schedule=pipe.schedule, shard_model=multi,
+        )
+        self.scheduler = BatchScheduler(self._run_batch, max_batch, max_wait_s)
+        self.scheduler._bucket = lambda req: (
+            req.num_inference_steps, req.cfg, req.refinement
+        )
+        self.scheduler.start()
+
+    def submit(self, req: PipelineRequest) -> Future:
+        return self.scheduler.submit(req)
+
+    def stop(self):
+        self.scheduler.stop()
+
+    # ------------------------------------------------------------ stages
+
+    def _llm_stage(self, reqs: List[PipelineRequest]):
+        """One batched KV-cached generate over left-padded prompts."""
+        import jax as _jax
+
+        from .llm import generate as gen_lib
+
+        pipe = self.pipe
+        aux, prepared = [], []
+        for r in reqs:
+            a = pipe.embed_mm_data(r.mm_data)
+            aux.append(a)
+            prepared.append(pipe._prepare_llm_inputs(r.inst, a))
+        lens = [e.shape[1] for _, e in prepared]
+        tgt = -(-max(lens) // self.bucket) * self.bucket
+        emb = jnp.concatenate(
+            [
+                jnp.pad(e, ((0, 0), (tgt - e.shape[1], 0), (0, 0)))
+                for _, e in prepared
+            ],
+            axis=0,
+        )
+        prefix_pads = jnp.asarray([tgt - n for n in lens], jnp.int32)
+        eos_id = getattr(pipe.tokenizer, "eos_token_id", 2)
+        result = gen_lib.generate(
+            pipe.params["llm"]["llama"], pipe.cfg.llm.llama, emb,
+            _jax.random.key(reqs[0].seed),
+            max_new_tokens=self.max_new_tokens, temperature=0.3,
+            eos_id=eos_id, prefix_pads=prefix_pads,
+        )
+        outs = []
+        for i, (r, (ids, _)) in enumerate(zip(reqs, prepared)):
+            n_out = min(int(result.done_at[i]) + 1, result.tokens.shape[1])
+            outs.append(
+                pipe._postprocess_llm(
+                    np.asarray(result.tokens[i, :n_out]),
+                    result.hiddens[i, :n_out], ids, aux[i], r.mm_data,
+                )
+            )
+        return outs
+
+    def _run_batch(self, reqs: List[PipelineRequest]) -> List[PipelineResult]:
+        from .diffusion import sampler as S
+        from .models import vae as vae_lib
+        from .prior import model as prior_lib
+        from .codecs import image_io
+
+        pipe = self.pipe
+        c = pipe.cfg
+        llm_outs = self._llm_stage(reqs)
+
+        # requests that produced no gen tokens answer caption-only
+        live = [i for i, o in enumerate(llm_outs) if o[0] is not None]
+        results: List[Optional[PipelineResult]] = [
+            PipelineResult(None, o[2]) for o in llm_outs
+        ]
+        if not live:
+            return results
+
+        # ---- prior stage: one batched no-diffusion refinement
+        srcs = jnp.concatenate(
+            [
+                llm_outs[i][0].reshape(1, -1)
+                / (jnp.linalg.norm(llm_outs[i][0]) + 1e-9) * 100.0
+                for i in live
+            ]
+        )
+        th, tm = pipe._encode_prior_text("")
+        th = jnp.tile(th, (len(live), 1, 1))
+        tm = jnp.tile(tm, (len(live), 1))
+        y = prior_lib.generate_diffusion(
+            pipe.params["prior"], c.prior, prior_lib.MODALITY.VIDEO,
+            prior_lib.MODALITY.IMAGE, srcs, th, tm,
+            guidance_scale=10.0, score=6.5, no_diffusion=True,
+        )[:, 0]
+
+        # ---- latents: per-request mix (cheap), batched VAE + inversion
+        imgs, lat_las = [], []
+        for j, i in enumerate(live):
+            image_embeds, base_embed, caption, base_path, _ = llm_outs[i]
+            imgs.append(image_io.to_model_range(pipe.load_base_img(base_path)))
+            yi = y[j] / (jnp.linalg.norm(y[j]) + 1e-9)
+            lat_las.append(
+                S.mix_latents(
+                    base_embed.reshape(1, -1), image_embeds.reshape(1, -1),
+                    yi.reshape(1, -1), reqs[i].h, reqs[i].norm,
+                )
+            )
+        x = jnp.asarray(np.stack(imgs))
+        import jax as _jax
+
+        steps = reqs[live[0]].num_inference_steps
+        src_lat = vae_lib.encode(
+            pipe.params["vae"], x, key=_jax.random.key(reqs[live[0]].seed), cfg=c.vae
+        )
+        ctx_null, pooled_null = pipe._encode_sdxl_prompt("")
+        b = len(live)
+        tid = S.default_time_ids(c.image_size, c.image_size, b)
+        latent_inv = S.ddim_invert(
+            pipe.params["unet"], c.unet, pipe.schedule, src_lat,
+            jnp.tile(ctx_null, (b, 1, 1)), jnp.tile(pooled_null, (b, 1)), tid,
+            num_inference_steps=steps,
+        )
+        noise = _jax.random.normal(_jax.random.key(reqs[live[0]].seed + 1), latent_inv.shape)
+        latent_inv = jnp.stack(
+            [
+                S.polar_interpolate(latent_inv[j], noise[j], reqs[i].alpha)
+                for j, i in enumerate(live)
+            ]
+        )
+
+        # ---- denoise stage: batched CFG scan through BatchedDenoiser
+        edits = []
+        for j, i in enumerate(live):
+            caption = llm_outs[i][2]
+            ctx_p, pooled_p = pipe._encode_sdxl_prompt(
+                "best quality, high quality" + caption
+            )
+            from .diffusion import ip_adapter as ipa_lib
+
+            ip_cond, ip_uncond = ipa_lib.get_image_embeds(
+                pipe.params["image_proj"], c.image_proj,
+                clip_image_embeds=lat_las[j], mode="global",
+            )
+            edits.append(
+                EditRequest(
+                    latents=np.asarray(latent_inv[j]),
+                    ctx=np.asarray(ctx_p[0]),
+                    ctx_uncond=np.asarray(ctx_null[0]),
+                    pooled=np.asarray(pooled_p[0]),
+                    pooled_uncond=np.asarray(pooled_null[0]),
+                    ip_tokens=np.asarray(ip_cond[0]),
+                    ip_tokens_uncond=np.asarray(ip_uncond[0]),
+                    guidance_scale=reqs[i].cfg,
+                    num_inference_steps=steps,
+                )
+            )
+        lats = self.denoiser.run_batch(edits)
+
+        # ---- decode stage: one batched VAE decode
+        dec = vae_lib.decode(
+            pipe.params["vae"], jnp.asarray(np.stack(lats)), c.vae
+        )
+        for j, i in enumerate(live):
+            results[i] = PipelineResult(
+                image_io.from_model_range(np.asarray(dec[j])), llm_outs[i][2]
+            )
+        return results

@@ -57,6 +57,53 @@ def _tiny_stack(rng, with_ip=False, in_ch=4):
     return cfg, params, sched, ctx, ctx_u, pooled, tid
 
 
+class TestImageEncoderPath:
+    def test_raw_image_through_clip_encoder(self, rng):
+        """`get_image_embeds(image=...)` runs the CLIP image encoder —
+        the reference's pil_image path (ip_adapter.py:171-209)."""
+        import dataclasses
+
+        from instructany2pix_tpu.models import clip as clip_lib
+
+        vcfg = dataclasses.replace(
+            clip_lib.CLIPVisionConfig.tiny(), image_size=28, patch_size=14,
+            projection_dim=16,
+        )
+        vparams = clip_lib.vision_init(jax.random.key(0), vcfg)
+        cfg = ipa.ImageProjConfig.tiny(clip_embeddings_dim=16)
+        params = ipa.init(jax.random.key(1), cfg)
+        img = (np.random.RandomState(0).rand(40, 36, 3) * 255).astype(np.uint8)
+        cond, uncond = ipa.get_image_embeds(
+            params, cfg, image=img, image_encoder=(vparams, vcfg), mode="global"
+        )
+        assert cond.shape == (1, cfg.num_tokens, cfg.cross_attention_dim)
+        # identical to precomputing the embedding by hand
+        emb = ipa.encode_clip_image(vparams, vcfg, img)
+        cond2, _ = ipa.get_image_embeds(
+            params, cfg, clip_image_embeds=emb, mode="global"
+        )
+        np.testing.assert_allclose(np.asarray(cond), np.asarray(cond2), atol=1e-6)
+        assert not np.allclose(np.asarray(cond), np.asarray(uncond))
+
+    def test_preprocess_matches_transformers_clip_processor(self):
+        """Pixel preprocessing matches transformers' CLIPImageProcessor
+        (available offline) on a random image."""
+        import pytest
+
+        tr = pytest.importorskip("transformers")
+        from PIL import Image
+
+        proc = tr.CLIPImageProcessor(
+            size={"shortest_edge": 28}, crop_size={"height": 28, "width": 28},
+            image_mean=list(ipa.CLIP_IMAGE_MEAN), image_std=list(ipa.CLIP_IMAGE_STD),
+        )
+        img = (np.random.RandomState(1).rand(28, 28, 3) * 255).astype(np.uint8)
+        ref = proc(images=Image.fromarray(img), return_tensors="np").pixel_values
+        got = np.asarray(ipa.preprocess_clip_image(img, 28))
+        # same-size input skips resampling → exact normalize parity
+        np.testing.assert_allclose(got, ref.transpose(0, 2, 3, 1), atol=1e-5)
+
+
 def test_denoise_runs_and_ip_window(rng):
     cfg, params, sched, ctx, ctx_u, pooled, tid = _tiny_stack(rng, with_ip=True)
     lat = jax.random.normal(jax.random.key(5), (1, 16, 16, 4))
