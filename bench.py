@@ -1,99 +1,331 @@
-"""Benchmark: full-size SDXL UNet denoise step on the real TPU chip.
+"""Benchmark: TRUE end-to-end 50-step 512x512 edit latency on the real
+TPU chip (BASELINE.json north-star config; VERDICT r1 item 1).
+
+Measures every stage of `InstructAny2PixPipeline.__call__` at FULL model
+size (reference pipeline.py:303-386 trace):
+  1. LLM generation  — vicuna-7B-class decoder, bf16 (or int8
+     weight-only when IA2P_BENCH_LLM_QUANT=int8, matching the
+     reference's 4-bit-quantized LLM, pipeline.py:30), 128-token prompt
+     prefill + 100-token KV-cached decode in ONE jitted graph.
+  2. Text encodes    — SDXL text1+text2 (3 prompts) + prior CLIP-H.
+  3. Diffusion prior — GPT-2-medium, no_diffusion single step.
+  4. VAE encode/decode at 512² (encode for inversion, decode after
+     denoise, encode+decode around the refiner).
+  5. DDIM inversion  — 50 non-CFG SDXL UNet forwards as one lax.scan.
+  6. IP denoise      — 50 CFG (batch-2) UNet forwards as one lax.scan.
+  7. Refiner         — 25 CFG refiner-UNet forwards (strength 0.5).
+
+The one physical chip (16 GB) cannot hold the 7B LLM and the SDXL
+stack simultaneously, so weights are staged (LLM freed before the
+diffusion stages load) — weight residency is a deployment-topology
+concern (v5e-8 holds everything sharded); the metric is compute
+latency per stage, host-sync corrected for the axon tunnel.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-
-Metric: projected 50-step 512x512 edit latency (the BASELINE.json
-north-star config) = 50 x CFG-batched UNet eps step at 64x64 latents,
-bf16, IP-Adapter tokens active. vs_baseline is measured against the
-2.0 s north-star target (>1.0 = faster than target).
-
-Extra context lines go to stderr so stdout stays one JSON line.
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+vs_baseline is measured against the 2.0 s north-star (>1 = faster).
+Per-stage breakdown goes to stderr (and belongs in BASELINE.md).
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    from instructany2pix_tpu.models import unet as unet_lib
+def sync(x):
+    """Host readback — the only reliable completion barrier over the
+    axon tunnel (block_until_ready returns early)."""
+    return float(jnp.sum(jax.tree.leaves(x)[0].astype(jnp.float32)))
 
-    cfg = unet_lib.UNetConfig.sdxl_base(with_ip=True)
-    log("initializing SDXL UNet params (bf16)...")
-    t0 = time.perf_counter()
-    params = unet_lib.init(jax.random.key(0), cfg)
-    # cast per-subtree so the fp32 and bf16 trees never coexist in HBM
-    # (2.9B params: 11.6 GB fp32 + 5.8 GB bf16 would overflow the chip)
-    for k in list(params):
-        params[k] = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params[k])
-        jax.block_until_ready(params[k])
-    from instructany2pix_tpu.core.tree import param_count
 
-    log(f"params: {param_count(params)/1e9:.2f}B in {time.perf_counter()-t0:.1f}s")
-
-    b = 2  # CFG pair for one image
-    lat = jax.random.normal(jax.random.key(1), (b, 64, 64, 4), jnp.bfloat16)
-    t = jnp.full((b,), 500, jnp.int32)
-    ctx = jax.random.normal(jax.random.key(2), (b, 77, 2048), jnp.bfloat16)
-    pooled = jax.random.normal(jax.random.key(3), (b, 1280), jnp.bfloat16)
-    tid = jnp.tile(jnp.asarray([[512, 512, 0, 0, 512, 512]], jnp.float32), (b, 1))
-    ip = jax.random.normal(jax.random.key(4), (b, 4, 2048), jnp.bfloat16)
-
-    @jax.jit
-    def step(params, lat, t, ctx, pooled, tid, ip):
-        return unet_lib.apply(
-            params, lat, t, ctx, cfg, pooled_text=pooled, time_ids=tid,
-            ip_tokens=ip, ip_scale=1.0,
-        )
-
-    log("compiling...")
-    t0 = time.perf_counter()
-    out = step(params, lat, t, ctx, pooled, tid, ip)
-    out.block_until_ready()
-    log(f"compile+first step: {time.perf_counter()-t0:.1f}s")
-
-    # Timing notes for the axon remote backend: block_until_ready
-    # returns before device execution completes, and deep unsynced
-    # dispatch chains exhaust the relay queue — so sync each step with
-    # a host readback and subtract the measured sync roundtrip.
-    def sync(x):
-        return float(jnp.sum(x.astype(jnp.float32)))
-
-    sync(step(params, lat, t, ctx, pooled, tid, ip))  # warm
+def measure_sync_overhead(probe):
     t0 = time.perf_counter()
     for _ in range(5):
-        sync(lat)
-    t_sync = (time.perf_counter() - t0) / 5
+        sync(probe)
+    return (time.perf_counter() - t0) / 5
 
-    n = 10
-    cur = lat
+
+def init_bf16(init_fn, key):
+    """Init a param tree directly in bf16 inside one jit (fp32
+    intermediates die leaf-by-leaf, so the watermark stays ~bf16 size)."""
+
+    @jax.jit
+    def go(k):
+        return jax.tree.map(lambda x: x.astype(jnp.bfloat16), init_fn(k))
+
+    params = go(key)
+    jax.block_until_ready(params)
+    return params
+
+
+def free(params):
+    for leaf in jax.tree.leaves(params):
+        try:
+            leaf.delete()
+        except Exception:
+            pass
+
+
+def time_once(fn, *args, label="", t_sync=0.0, reps=3):
+    """Compile, then time `reps` executions of a single-dispatch fn."""
+    out = fn(*args)
+    sync(out)
     t0 = time.perf_counter()
-    for _ in range(n):
-        cur = step(params, cur, t, ctx, pooled, tid, ip)
-        sync(cur)
-    total = time.perf_counter() - t0
-    step_ms = (total / n - t_sync) * 1e3
-    log(
-        f"unet cfg-step: {step_ms:.2f} ms"
-        f" (sync roundtrip {t_sync * 1e3:.1f} ms, raw {total / n * 1e3:.1f} ms/iter)"
+    for _ in range(reps):
+        sync(fn(*args))
+    dt = (time.perf_counter() - t0) / reps - t_sync
+    log(f"  {label}: {dt * 1e3:.1f} ms")
+    return max(dt, 0.0)
+
+
+def bench_llm(t_sync, quant: str):
+    from instructany2pix_tpu.llm import generate as gen_lib
+    from instructany2pix_tpu.models import llama
+
+    cfg = llama.LlamaConfig.vicuna_7b()
+    log(f"LLM stage: vicuna-7B config, quant={quant} ...")
+    t0 = time.perf_counter()
+    params = init_bf16(lambda k: llama.init(k, cfg), jax.random.key(0))
+    log(f"  init 7B bf16: {time.perf_counter() - t0:.1f}s")
+
+    if quant == "int8":
+        from instructany2pix_tpu.ops import quant as quant_lib
+
+        t0 = time.perf_counter()
+        params = quant_lib.quantize_llama(params)
+        jax.block_until_ready(params)
+        log(f"  int8 weight quantization: {time.perf_counter() - t0:.1f}s")
+
+    prompt_len, new_tokens = 128, 100
+    emb = jax.random.normal(
+        jax.random.key(1), (1, prompt_len, cfg.hidden_size), jnp.bfloat16
     )
 
-    edit_latency_s = 50 * step_ms / 1e3
+    def fn(params, emb, key):
+        # generate is itself jitted — one dispatch for prefill + scan
+        return gen_lib.generate(
+            params, cfg, emb, key, max_new_tokens=new_tokens,
+            temperature=0.3, eos_id=2,
+        ).tokens
+    log("  compiling generate graph (prefill + 100-step decode scan)...")
+    t0 = time.perf_counter()
+    toks = fn(params, emb, jax.random.key(2))
+    sync(toks)
+    log(f"  compile+first: {time.perf_counter() - t0:.1f}s")
+    t = time_once(fn, params, emb, jax.random.key(3),
+                  label=f"llm prefill({prompt_len})+decode({new_tokens})",
+                  t_sync=t_sync, reps=3)
+    free(params)
+    return t
+
+
+def main():
+    quant = os.environ.get("IA2P_BENCH_LLM_QUANT", "int8")
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    probe = jnp.ones((8, 8))
+    sync(probe)
+    t_sync = measure_sync_overhead(probe)
+    log(f"host-sync roundtrip: {t_sync * 1e3:.1f} ms")
+
+    stage_s = {}
+
+    # ---------------------------------------------------------- LLM stage
+    stage_s["llm"] = bench_llm(t_sync, quant)
+
+    # ------------------------------------------------- diffusion stack init
+    from instructany2pix_tpu.diffusion import img2img as i2i
+    from instructany2pix_tpu.diffusion import ip_adapter as ipa
+    from instructany2pix_tpu.diffusion import sampler as S
+    from instructany2pix_tpu.diffusion.schedulers import Schedule, SchedulerConfig
+    from instructany2pix_tpu.models import clip as clip_lib
+    from instructany2pix_tpu.models import unet as unet_lib
+    from instructany2pix_tpu.models import vae as vae_lib
+    from instructany2pix_tpu.prior import model as prior_lib
+
+    log("initializing SDXL stack (bf16)...")
+    t0 = time.perf_counter()
+    ucfg = unet_lib.UNetConfig.sdxl_base(with_ip=True)
+    rcfg = unet_lib.UNetConfig.sdxl_refiner()
+    vcfg = vae_lib.VAEConfig()
+    t1cfg = clip_lib.CLIPTextConfig.vit_l()
+    t2cfg = clip_lib.CLIPTextConfig.open_clip_bigg()
+    ptcfg = clip_lib.CLIPTextConfig.vit_h()
+    pcfg = prior_lib.PriorConfig()
+    ipcfg = ipa.ImageProjConfig()
+    unet_p = init_bf16(lambda k: unet_lib.init(k, ucfg), jax.random.key(10))
+    ref_p = init_bf16(lambda k: unet_lib.init(k, rcfg), jax.random.key(11))
+    vae_p = init_bf16(lambda k: vae_lib.init(k, vcfg), jax.random.key(12))
+    t1_p = init_bf16(lambda k: clip_lib.text_init(k, t1cfg), jax.random.key(13))
+    t2_p = init_bf16(lambda k: clip_lib.text_init(k, t2cfg), jax.random.key(14))
+    pt_p = init_bf16(lambda k: clip_lib.text_init(k, ptcfg), jax.random.key(15))
+    prior_p = init_bf16(lambda k: prior_lib.init(k, pcfg), jax.random.key(16))
+    ip_p = init_bf16(lambda k: ipa.init(k, ipcfg), jax.random.key(17))
+    log(f"  sdxl-stack init: {time.perf_counter() - t0:.1f}s")
+    schedule = Schedule.create(SchedulerConfig())
+
+    size, lat_hw, steps = 512, 64, 50
+
+    # ---------------------------------------------------- text encode stage
+    ids1 = jnp.ones((1, 77), jnp.int32)
+    ids2 = jnp.ones((1, 77), jnp.int32)
+
+    @jax.jit
+    def encode_prompts(t1_p, t2_p, pt_p, ids1, ids2):
+        # 3 prompts (null, edit, refine) through SDXL's two encoders +
+        # the prior's CLIP-H "" prompt — batched per encoder
+        i1 = jnp.tile(ids1, (3, 1))
+        i2 = jnp.tile(ids2, (3, 1))
+        ctx, pooled = S.encode_prompt_sdxl(t1_p, t1cfg, t2_p, t2cfg, i1, i2)
+        pt = clip_lib.text_apply(pt_p, ids1, ptcfg)["last_hidden_state"]
+        return ctx, pooled, pt
+
+    ctx3, pooled3, prior_text = encode_prompts(t1_p, t2_p, pt_p, ids1, ids2)
+    sync(ctx3)
+    stage_s["text_encode"] = time_once(
+        encode_prompts, t1_p, t2_p, pt_p, ids1, ids2,
+        label="text encodes (3 prompts x 2 encoders + CLIP-H)",
+        t_sync=t_sync,
+    )
+    ctx_p, ctx_null = ctx3[0:1], ctx3[1:2]
+    pooled_p, pooled_null = pooled3[0:1], pooled3[1:2]
+    rctx, rpooled = ctx3[2:3, :, -1280:], pooled3[2:3]
+
+    # ---------------------------------------------------------- prior stage
+    src = jax.random.normal(jax.random.key(20), (1, pcfg.imagebind_dim))
+    tmask = jnp.ones((1, prior_text.shape[1]), jnp.float32)
+
+    @jax.jit
+    def prior_fn(prior_p, src, th, tm):
+        return prior_lib.generate_diffusion(
+            prior_p, pcfg, prior_lib.MODALITY.VIDEO, prior_lib.MODALITY.IMAGE,
+            src, th, tm, guidance_scale=10.0, score=6.5, no_diffusion=True,
+        )
+
+    y = prior_fn(prior_p, src, prior_text, tmask)
+    sync(y)
+    stage_s["prior"] = time_once(
+        prior_fn, prior_p, src, prior_text, tmask,
+        label="prior (no_diffusion, CFG)", t_sync=t_sync,
+    )
+
+    # ------------------------------------------------------------ VAE stage
+    img = jax.random.normal(jax.random.key(21), (1, size, size, 3), jnp.bfloat16)
+
+    @jax.jit
+    def vae_enc(vae_p, img):
+        return vae_lib.encode(vae_p, img, cfg=vcfg, sample=False)
+
+    @jax.jit
+    def vae_dec(vae_p, lat):
+        return vae_lib.decode(vae_p, lat, vcfg)
+
+    src_lat = vae_enc(vae_p, img)
+    sync(src_lat)
+    t_enc = time_once(vae_enc, vae_p, img, label="vae encode 512²", t_sync=t_sync)
+    lat0 = jax.random.normal(jax.random.key(22), (1, lat_hw, lat_hw, 4), jnp.bfloat16)
+    dec = vae_dec(vae_p, lat0)
+    sync(dec)
+    t_dec = time_once(vae_dec, vae_p, lat0, label="vae decode 512²", t_sync=t_sync)
+    # encode x2 (inversion, refiner input) + decode x2 (denoise, refiner)
+    stage_s["vae"] = 2 * t_enc + 2 * t_dec
+
+    # ------------------------------------------------------ inversion stage
+    tid = S.default_time_ids(size, size, 1)
+
+    @jax.jit
+    def invert_fn(unet_p, lat, ctx, pooled, tid):
+        return S.ddim_invert(
+            unet_p, ucfg, schedule, lat, ctx, pooled, tid,
+            num_inference_steps=steps,
+        )
+
+    log(f"  compiling inversion scan ({steps} steps)...")
+    lat_inv = invert_fn(unet_p, src_lat, ctx_null, pooled_null, tid)
+    sync(lat_inv)
+    stage_s["ddim_inversion"] = time_once(
+        invert_fn, unet_p, src_lat, ctx_null, pooled_null, tid,
+        label=f"ddim inversion ({steps} UNet fwd, batch 1)",
+        t_sync=t_sync, reps=2,
+    )
+
+    # -------------------------------------------------------- denoise stage
+    ip_cond, ip_uncond = ipa.get_image_embeds(
+        ip_p, ipcfg,
+        clip_image_embeds=jax.random.normal(jax.random.key(23), (1, 1024)),
+        mode="global",
+    )
+
+    @jax.jit
+    def denoise_fn(unet_p, lat, ctx, ctx_n, pooled, pooled_n, tid, ip, ip_u):
+        return S.denoise(
+            unet_p, ucfg, schedule, lat, ctx, ctx_n, pooled, pooled_n, tid,
+            num_inference_steps=steps, guidance_scale=10.0,
+            ip_tokens=ip, ip_tokens_uncond=ip_u, ip_scale=1.0,
+        )
+
+    log(f"  compiling denoise scan ({steps} CFG steps)...")
+    lat_out = denoise_fn(
+        unet_p, lat_inv, ctx_p, ctx_null, pooled_p, pooled_null, tid,
+        ip_cond, ip_uncond,
+    )
+    sync(lat_out)
+    stage_s["ip_denoise"] = time_once(
+        denoise_fn, unet_p, lat_inv, ctx_p, ctx_null, pooled_p, pooled_null,
+        tid, ip_cond, ip_uncond,
+        label=f"ip denoise ({steps} CFG UNet fwd, batch 2)",
+        t_sync=t_sync, reps=2,
+    )
+
+    # -------------------------------------------------------- refiner stage
+    rtid = jnp.asarray([[size, size, 0, 0, 6.0]], jnp.float32)
+    rctx_n = jnp.zeros_like(rctx)
+    rpooled_n = jnp.zeros_like(rpooled)
+
+    @jax.jit
+    def refiner_fn(ref_p, lat, key, ctx, ctx_n, pooled, pooled_n, tid):
+        return i2i.img2img(
+            ref_p, rcfg, schedule, lat, key, ctx, ctx_n, pooled, pooled_n,
+            tid, num_inference_steps=steps, strength=0.5, guidance_scale=5.0,
+        )
+
+    log("  compiling refiner scan (25 CFG steps)...")
+    rlat = refiner_fn(
+        ref_p, lat_out, jax.random.key(24), rctx, rctx_n, rpooled, rpooled_n, rtid
+    )
+    sync(rlat)
+    stage_s["refiner"] = time_once(
+        refiner_fn, ref_p, lat_out, jax.random.key(25), rctx, rctx_n, rpooled,
+        rpooled_n, rtid,
+        label="refiner (25 CFG refiner fwd, strength 0.5)",
+        t_sync=t_sync, reps=2,
+    )
+
+    # -------------------------------------------------------------- report
+    total = sum(stage_s.values())
+    log("--- stage breakdown (s) ---")
+    for k, v in stage_s.items():
+        log(f"  {k:>16}: {v:.3f}")
+    log(f"  {'TOTAL e2e':>16}: {total:.3f}")
     print(
         json.dumps(
             {
-                "metric": "sdxl_unet_50step_512px_edit_latency",
-                "value": round(edit_latency_s, 3),
+                "metric": "e2e_50step_512px_edit_latency",
+                "value": round(total, 3),
                 "unit": "s",
-                "vs_baseline": round(2.0 / edit_latency_s, 3),
+                "vs_baseline": round(2.0 / total, 3),
+                "stages": {k: round(v, 3) for k, v in stage_s.items()},
+                "llm_quant": quant,
             }
         )
     )

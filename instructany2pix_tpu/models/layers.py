@@ -30,6 +30,25 @@ def linear_init(key, in_dim, out_dim, bias=True, scale=None, dtype=jnp.float32):
 
 
 def linear(p, x, compute_dtype=None):
+    if "w_q" in p:
+        # int8 weight-only quantization (ops/quant.py): the int8 kernel
+        # is read from HBM and converted in-registers (XLA fuses the
+        # convert into the dot operand), halving weight bandwidth — the
+        # TPU counterpart of the reference's bitsandbytes 4-bit LLM
+        # (reference pipeline.py:30). Per-output-channel scales.
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        y = (x @ p["w_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+        if "b" in p:
+            y = y + p["b"].astype(y.dtype)
+        return y
+    if "w_q4" in p:
+        from ..ops.quant import int4_matmul
+
+        y = int4_matmul(x if compute_dtype is None else x.astype(compute_dtype), p)
+        if "b" in p:
+            y = y + p["b"].astype(y.dtype)
+        return y
     w = p["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
