@@ -111,23 +111,28 @@ def _bilinear_gather(value_lvl, locs):
 
         return jax.vmap(per_batch)(flat, idx)
 
-    v00 = gather(x0, y0)
-    v01 = gather(x0 + 1, y0)
-    v10 = gather(x0, y0 + 1)
-    v11 = gather(x0 + 1, y0 + 1)
+    def corner(xi, yi):
+        # grid_sample padding_mode="zeros": each OUT-OF-BOUNDS corner
+        # contributes zero while in-bounds corners keep their bilinear
+        # weights (per-corner masking, not per-sample — verified against
+        # torch in tests/test_gdino_parity.py)
+        ok = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)).astype(
+            value_lvl.dtype
+        )
+        return gather(xi, yi) * ok[..., None]
+
+    v00 = corner(x0, y0)
+    v01 = corner(x0 + 1, y0)
+    v10 = corner(x0, y0 + 1)
+    v11 = corner(x0 + 1, y0 + 1)
     dx = dx[..., None]
     dy = dy[..., None]
-    # zero out-of-range samples (border behavior of grid_sample zeros)
-    valid = (
-        (x >= -1) & (x <= w) & (y >= -1) & (y <= h)
-    )[..., None].astype(value_lvl.dtype)
-    out = (
+    return (
         v00 * (1 - dx) * (1 - dy)
         + v01 * dx * (1 - dy)
         + v10 * (1 - dx) * dy
         + v11 * dx * dy
     )
-    return out * valid
 
 
 def deformable_attention(
