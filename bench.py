@@ -101,7 +101,7 @@ def bench_llm(t_sync, quant: str):
         from instructany2pix_tpu.ops import quant as quant_lib
 
         t0 = time.perf_counter()
-        params = quant_lib.quantize_llama(params)
+        params = quant_lib.quantize_llama(params, free_originals=True)
         jax.block_until_ready(params)
         log(f"  int8 weight quantization: {time.perf_counter() - t0:.1f}s")
 

@@ -75,10 +75,14 @@ def quantize_tree(
     params,
     should_quantize: Optional[Callable[[str], bool]] = None,
     bits: int = 8,
+    free_originals: bool = False,
 ):
     """Walk a param pytree, replacing matched linear subtrees
     ({"w": 2D, ...}) with their quantized form. `should_quantize`
-    receives the dotted path of the linear's dict."""
+    receives the dotted path of the linear's dict. `free_originals`
+    deletes each source buffer as soon as its int8 copy exists, so a
+    near-HBM-capacity model (7B bf16 on a 16 GB chip) can be quantized
+    in place without holding both trees."""
     match = should_quantize or (lambda p: bool(_DEFAULT_PATTERN.search(p)))
     qfn = quantize_weight if bits == 8 else quantize_weight_int4
 
@@ -86,6 +90,17 @@ def quantize_tree(
         if isinstance(node, dict):
             if "w" in node and getattr(node["w"], "ndim", 0) == 2 and match(path):
                 q = qfn(node["w"])
+                if free_originals:
+                    # host readback = hard completion barrier (remote
+                    # backends ack block_until_ready before execution
+                    # finishes, and deep unsynced dispatch chains exhaust
+                    # the relay queue)
+                    float(jnp.sum(q["w_q"].astype(jnp.int32)))
+                    float(jnp.sum(q["scale"]))
+                    try:
+                        node["w"].delete()
+                    except Exception:
+                        pass
                 rest = {k: v for k, v in node.items() if k != "w"}
                 return {**q, **rest}
             return {k: walk(v, f"{path}.{k}" if path else k) for k, v in node.items()}
@@ -94,7 +109,7 @@ def quantize_tree(
     return walk(params, "")
 
 
-def quantize_llama(params, bits: int = 8):
+def quantize_llama(params, bits: int = 8, free_originals: bool = False):
     """Quantize every decoder linear (q/k/v/o/gate/up/down + lm_head);
     embeddings and norms stay bf16 (lookup tables and tiny vectors)."""
-    return quantize_tree(params, bits=bits)
+    return quantize_tree(params, bits=bits, free_originals=free_originals)
