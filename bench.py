@@ -97,13 +97,15 @@ def bench_llm(t_sync, quant: str):
     params = init_bf16(lambda k: llama.init(k, cfg), jax.random.key(0))
     log(f"  init 7B bf16: {time.perf_counter() - t0:.1f}s")
 
-    if quant == "int8":
+    if quant in ("int8", "int4"):
         from instructany2pix_tpu.ops import quant as quant_lib
 
         t0 = time.perf_counter()
-        params = quant_lib.quantize_llama(params, free_originals=True)
+        params = quant_lib.quantize_llama(
+            params, bits=8 if quant == "int8" else 4, free_originals=True
+        )
         jax.block_until_ready(params)
-        log(f"  int8 weight quantization: {time.perf_counter() - t0:.1f}s")
+        log(f"  {quant} weight quantization: {time.perf_counter() - t0:.1f}s")
 
     prompt_len, new_tokens = 128, 100
     emb = jax.random.normal(

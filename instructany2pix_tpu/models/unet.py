@@ -159,9 +159,25 @@ def _attn_init(kc, dim, ctx_dim, heads, with_ip=False):
 def _attn(p, x, ctx, heads, ip_tokens=None, ip_scale=1.0, taps=None, tap_key=None):
     b, s, d = x.shape
     hd = d // heads
-    q = L.linear(p["to_q"], x).reshape(b, s, heads, hd)
-    k = L.linear(p["to_k"], ctx).reshape(b, -1, heads, hd)
-    v = L.linear(p["to_v"], ctx).reshape(b, -1, heads, hd)
+    if "to_qkv" in p:
+        # fused self-attention projections (fuse_qkv transform): one
+        # (d, 3d) matmul instead of three launches — the 72-layer stacks
+        # are op-launch-bound at 256-1024 tokens (BASELINE.md r2)
+        qkv = L.linear(p["to_qkv"], x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, s, heads, hd)
+        k = k.reshape(b, -1, heads, hd)
+        v = v.reshape(b, -1, heads, hd)
+    elif "to_kv" in p:
+        q = L.linear(p["to_q"], x).reshape(b, s, heads, hd)
+        kv = L.linear(p["to_kv"], ctx)
+        k, v = jnp.split(kv, 2, axis=-1)
+        k = k.reshape(b, -1, heads, hd)
+        v = v.reshape(b, -1, heads, hd)
+    else:
+        q = L.linear(p["to_q"], x).reshape(b, s, heads, hd)
+        k = L.linear(p["to_k"], ctx).reshape(b, -1, heads, hd)
+        v = L.linear(p["to_v"], ctx).reshape(b, -1, heads, hd)
     o = dot_product_attention(q, k, v).reshape(b, s, d)
     if ip_tokens is not None and "to_k_ip" in p:
         k_ip = L.linear(p["to_k_ip"], ip_tokens).reshape(b, -1, heads, hd)
@@ -241,6 +257,44 @@ def _transformer(
     else:
         h = L.conv2d(p["proj_out"], h.reshape(b, hh, ww, c))
     return h + res
+
+
+def fuse_qkv(params):
+    """Inference-time transform: concatenate attention projections so
+    each self-attention runs one (d, 3d) matmul and each cross-attention
+    one (ctx_d, 2d) k/v matmul. Semantics-preserving (verified in
+    tests/test_models_diffusion.py); apply AFTER checkpoint load, before
+    jit. The IP branch (to_k_ip/to_v_ip) is left unfused — its keys are
+    4 tokens, already negligible."""
+
+    def fuse_self(a):
+        a = dict(a)
+        a["to_qkv"] = {
+            "w": jnp.concatenate([a["to_q"]["w"], a["to_k"]["w"], a["to_v"]["w"]], axis=1)
+        }
+        del a["to_q"], a["to_k"], a["to_v"]
+        return a
+
+    def fuse_cross(a):
+        a = dict(a)
+        a["to_kv"] = {"w": jnp.concatenate([a["to_k"]["w"], a["to_v"]["w"]], axis=1)}
+        del a["to_k"], a["to_v"]
+        return a
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "attn1" and isinstance(v, dict) and "to_q" in v:
+                    out[k] = fuse_self(v)  # self-attention: q,k,v share input
+                elif k == "attn2" and isinstance(v, dict) and "to_q" in v:
+                    out[k] = fuse_cross(v)  # cross-attention: k,v share ctx
+                else:
+                    out[k] = walk(v)
+            return out
+        return node
+
+    return walk(params)
 
 
 # ------------------------------------------------------------------- init

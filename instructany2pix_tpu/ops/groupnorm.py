@@ -1,13 +1,19 @@
-"""Fused GroupNorm(+SiLU) — Pallas kernel with XLA fallback.
+"""GroupNorm(+SiLU) tuned for the TPU lane layout.
 
-Every SDXL ResNet block runs GroupNorm→SiLU→Conv (the reference relies
-on torch's cuDNN for this; diffusers ResnetBlock2D). On TPU the conv
-lands on the MXU via XLA; the GroupNorm+SiLU prologue is
-bandwidth-bound, so fusing the normalization statistics, affine, and
-activation into one VMEM pass saves two HBM round-trips.
+Every SDXL ResNet block runs GroupNorm→SiLU→Conv (diffusers
+ResnetBlock2D; the reference relies on torch/cuDNN). The textbook
+formulation reshapes (B, H, W, C) → (B, HW, G, C/G) to reduce per
+group — on TPU that puts C/G (20 for SDXL's 640/32 blocks) on the
+128-wide lane dimension, so every call pays lane-crossing relayouts
+and under-filled vector ops.
 
-Layout: NHWC. The kernel grids over (batch, group); each program
-normalizes one (H*W, C/G) tile in fp32 and applies SiLU.
+This implementation never reshapes the channel axis: group statistics
+are two (B, C) @ (C, G) matmuls against a constant one-hot
+channel→group matrix, broadcast back with its transpose, and the
+normalize+affine+SiLU stays a lane-aligned elementwise chain XLA fuses
+into one kernel. An earlier hand-written Pallas kernel for this op lost
+to XLA on real shapes (r1: 1.32 ms vs 0.84 ms at 2×64×64×640) and was
+removed in favor of this formulation (r2 A/B in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -16,32 +22,45 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
 
 
-def _gn_silu_kernel(x_ref, g_ref, b_ref, o_ref, *, eps, silu):
-    x = x_ref[:].astype(jnp.float32)  # (1, HW, CG)
-    mean = jnp.mean(x)
-    var = jnp.mean(jnp.square(x - mean))
-    inv = jax.lax.rsqrt(var + eps)
-    y = (x - mean) * inv
-    y = y * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
-    if silu:
-        y = y * jax.nn.sigmoid(y)
-    o_ref[:] = y.astype(o_ref.dtype)
+@functools.lru_cache(maxsize=32)
+def _group_matrix_np(c: int, num_groups: int):
+    """(C, G) one-hot channel→group assignment. Cached as NUMPY — a
+    cached jax.Array created inside one trace leaks into later traces
+    (jax tracks constants per-trace)."""
+    import numpy as np
+
+    cg = c // num_groups
+    m = np.zeros((c, num_groups), np.float32)
+    for g in range(num_groups):
+        m[g * cg : (g + 1) * cg, g] = 1.0
+    return m
+
+
+def _group_matrix(c: int, num_groups: int):
+    return jnp.asarray(_group_matrix_np(c, num_groups))
 
 
 def _group_norm_xla(x, gamma, beta, num_groups, eps, silu):
     # x: (B, H, W, C) or (B, L, C)
     orig_shape = x.shape
-    c = orig_shape[-1]
+    b, c = orig_shape[0], orig_shape[-1]
     cg = c // num_groups
-    xf = x.astype(jnp.float32).reshape(orig_shape[0], -1, num_groups, cg)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.var(xf, axis=(1, 3), keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y.reshape(orig_shape[0], -1, c)
-    y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    m = _group_matrix(c, num_groups)
+    xf = x.astype(jnp.float32).reshape(b, -1, c)
+    hw = xf.shape[1]
+    n = hw * cg
+    s1 = jnp.sum(xf, axis=1) @ m  # (B, G)
+    s2 = jnp.sum(xf * xf, axis=1) @ m
+    mean_g = s1 / n
+    var_g = jnp.maximum(s2 / n - mean_g * mean_g, 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = mean_g @ m.T  # (B, C) broadcast back, still lane-aligned
+    inv_c = inv_g @ m.T
+    scale = inv_c * gamma.astype(jnp.float32)[None]
+    shift = beta.astype(jnp.float32)[None] - mean_c * scale
+    y = xf * scale[:, None] + shift[:, None]
     if silu:
         y = y * jax.nn.sigmoid(y)
     return y.reshape(orig_shape).astype(x.dtype)
@@ -57,35 +76,7 @@ def group_norm(
     impl: str = "auto",
 ) -> jax.Array:
     """GroupNorm over the channel-last axis, optionally fused with SiLU."""
-    from .attention import _tpu_available
-
     c = x.shape[-1]
     assert c % num_groups == 0, (c, num_groups)
-    cg = c // num_groups
-    b = x.shape[0]
-    hw = 1
-    for s in x.shape[1:-1]:
-        hw *= s
-
-    # Measured on v5e: XLA's own GroupNorm+SiLU fusion currently beats this
-    # kernel (0.84 ms vs 1.32 ms at 2x64x64x640), so "auto" routes to XLA;
-    # the Pallas path stays available behind impl="pallas" for further tuning.
-    use_pallas = impl == "pallas" and hw % 8 == 0 and cg >= 8
-    if not use_pallas:
-        return _group_norm_xla(x, gamma, beta, num_groups, eps, silu)
-
-    xr = x.reshape(b, hw, num_groups, cg).swapaxes(1, 2).reshape(b * num_groups, hw, cg)
-    gr = gamma.reshape(num_groups, 1, cg)
-    br = beta.reshape(num_groups, 1, cg)
-    out = pl.pallas_call(
-        functools.partial(_gn_silu_kernel, eps=eps, silu=silu),
-        grid=(b * num_groups,),
-        in_specs=[
-            pl.BlockSpec((1, hw, cg), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, cg), lambda i: (i % num_groups, 0, 0)),
-            pl.BlockSpec((1, 1, cg), lambda i: (i % num_groups, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, hw, cg), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(xr.shape, x.dtype),
-    )(xr, gr, br)
-    return out.reshape(b, num_groups, hw, cg).swapaxes(1, 2).reshape(x.shape)
+    del impl  # single lane-aligned implementation (see module docstring)
+    return _group_norm_xla(x, gamma, beta, num_groups, eps, silu)

@@ -95,7 +95,8 @@ def quantize_tree(
                     # backends ack block_until_ready before execution
                     # finishes, and deep unsynced dispatch chains exhaust
                     # the relay queue)
-                    float(jnp.sum(q["w_q"].astype(jnp.int32)))
+                    qk = "w_q" if "w_q" in q else "w_q4"
+                    float(jnp.sum(q[qk].astype(jnp.int32)))
                     float(jnp.sum(q["scale"]))
                     try:
                         node["w"].delete()

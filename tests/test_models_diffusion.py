@@ -214,3 +214,25 @@ class TestLCM:
         b = S.lcm_step(s, eps, jnp.asarray([int(ts[-1])]), jnp.asarray([-1]), x,
                        key=jax.random.key(4))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_fuse_qkv_preserves_outputs(rng):
+    """fuse_qkv (op-launch optimization) is semantics-preserving."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instructany2pix_tpu.models import unet as unet_lib
+
+    cfg = unet_lib.UNetConfig.tiny(with_ip=True)
+    params = unet_lib.init(rng, cfg)
+    fused = unet_lib.fuse_qkv(params)
+    lat = jax.random.normal(jax.random.key(1), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(2), (2, 7, cfg.cross_attention_dim))
+    pooled = jax.random.normal(jax.random.key(3), (2, cfg.pooled_dim))
+    tid = jnp.ones((2, 6))
+    ip = jax.random.normal(jax.random.key(4), (2, 4, cfg.cross_attention_dim))
+    kw = dict(pooled_text=pooled, time_ids=tid, ip_tokens=ip, ip_scale=0.7)
+    a = unet_lib.apply(params, lat, jnp.zeros((2,), jnp.int32), ctx, cfg, **kw)
+    b = unet_lib.apply(fused, lat, jnp.zeros((2,), jnp.int32), ctx, cfg, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)

@@ -98,33 +98,3 @@ def test_group_norm_xla_matches_manual(rng, silu):
     if silu:
         y = y / (1 + np.exp(-y)) * 1.0 if False else y * (1 / (1 + np.exp(-y)))
     np.testing.assert_allclose(np.asarray(out), y, atol=1e-4, rtol=1e-4)
-
-
-def test_group_norm_pallas_interpret_matches_xla(rng):
-    import functools
-
-    import jax.experimental.pallas as pl
-    from instructany2pix_tpu.ops.groupnorm import _gn_silu_kernel
-
-    b, hw, g, cg = 2, 64, 4, 16
-    c = g * cg
-    x = jax.random.normal(rng, (b, hw, c))
-    gamma = jnp.ones((c,)) * 1.3
-    beta = jnp.ones((c,)) * 0.2
-    ref = _group_norm_xla(x, gamma, beta, g, 1e-5, True)
-
-    xr = x.reshape(b, hw, g, cg).swapaxes(1, 2).reshape(b * g, hw, cg)
-    out = pl.pallas_call(
-        functools.partial(_gn_silu_kernel, eps=1e-5, silu=True),
-        grid=(b * g,),
-        in_specs=[
-            pl.BlockSpec((1, hw, cg), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, cg), lambda i: (i % g, 0, 0)),
-            pl.BlockSpec((1, 1, cg), lambda i: (i % g, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, hw, cg), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(xr.shape, x.dtype),
-        interpret=True,
-    )(xr, gamma.reshape(g, 1, cg), beta.reshape(g, 1, cg))
-    out = out.reshape(b, g, hw, cg).swapaxes(1, 2).reshape(b, hw, c)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
