@@ -10,13 +10,21 @@ decode latency on a v5e (int4 packed halves it again). Layout:
 
 Per-output-channel symmetric absmax scales. `models.layers.linear`
 dispatches on the presence of "w_q" — any linear in any model can be
-quantized without touching forward code. XLA fuses the int8→bf16
-convert into the dot's operand read, so the bf16 kernel never
-materializes in HBM (verified by decode-latency A/B in BASELINE.md).
+quantized without touching forward code. Inside the decode scan, XLA
+fuses the int8→bf16 convert into the dot's operand read, so the bf16
+kernel never materializes in HBM (decode-latency evidence in
+BASELINE.md: 10.1 ms/token ≈ the int8 floor, not the 16.5 ms bf16
+floor).
 
 int4 uses the same contract with two nibbles packed per int8 byte
-("w_q4", (in/2, out)); unpacking is two shifts + a concat that XLA
-fuses likewise.
+("w_q4", (in/2, out), half-split rows). STATUS (r2, measured on v5e):
+int8 decode through the XLA dequant path runs at ~81% of the int8
+bandwidth floor inside the generate scan (10.1 ms/token for 7B) — the
+production default. int4 is EXPERIMENTAL: XLA materializes the unpack
+(11 s/100 tok) and the Pallas kernel's in-VMEM nibble unpack is
+VPU-bound (~350 µs per 4096×11008 matvec vs 28 µs int8); a
+lookup-table/bitcast Mosaic unpack is future work. `pallas_qmatmul`
+is correct for both widths (tests/test_quant.py).
 """
 
 from __future__ import annotations
@@ -42,23 +50,27 @@ def dequantize_weight(q: dict, dtype=jnp.float32) -> jax.Array:
 
 
 def quantize_weight_int4(w: jax.Array) -> dict:
-    """(in, out) → packed int4 (two rows per byte) + scale. `in` must be
-    even."""
+    """(in, out) → packed int4 + scale. Packing is HALF-SPLIT (row i of
+    the first half in the low nibble, row i+in/2 in the high nibble) so
+    unpacking is a plain sublane concat — no interleave relayout, and
+    Mosaic-friendly. `in` must be even."""
     w = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(w), axis=0)
     scale = jnp.where(amax > 0, amax / 7.0, 1.0)
     q = jnp.clip(jnp.round(w / scale[None, :]), -7, 7).astype(jnp.int8)
-    lo = q[0::2] & 0x0F  # even input rows → low nibble
-    hi = (q[1::2] & 0x0F) << 4
+    half = q.shape[0] // 2
+    lo = q[:half] & 0x0F
+    hi = (q[half:] & 0x0F) << 4
     return {"w_q4": (lo | hi).astype(jnp.int8), "scale": scale}
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """(in/2, out) packed → (in, out) int8 in [-7, 7]."""
-    lo = (packed << 4) >> 4  # sign-extend low nibble (arithmetic shift)
-    hi = packed >> 4
-    half, out = packed.shape
-    return jnp.stack([lo, hi], axis=1).reshape(half * 2, out)
+    """(in/2, out) packed → (in, out) int8-valued in [-7, 7] (int32
+    carrier — Mosaic cannot shift i8 vectors)."""
+    p32 = packed.astype(jnp.int32)
+    lo = (p32 << 28) >> 28  # sign-extend low nibble
+    hi = (p32 << 24) >> 28  # sign-extend high nibble
+    return jnp.concatenate([lo, hi], axis=0)
 
 
 def int4_matmul(x: jax.Array, q: dict) -> jax.Array:
@@ -114,3 +126,61 @@ def quantize_llama(params, bits: int = 8, free_originals: bool = False):
     """Quantize every decoder linear (q/k/v/o/gate/up/down + lm_head);
     embeddings and norms stay bf16 (lookup tables and tiny vectors)."""
     return quantize_tree(params, bits=bits, free_originals=free_originals)
+
+
+# ------------------------------------------------- Pallas decode kernel
+
+
+def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int):
+    """One output tile of x @ dequant(W): x (M, K) resident, W block
+    (K, bn) int8 (or (K/2, bn) packed int4) dequantized in VMEM — the
+    bf16 kernel never exists in HBM, so decode reads bits/8 bytes per
+    weight instead of 2 (the reference's raison d'être for bnb-4bit,
+    pipeline.py:30)."""
+    w = w_ref[:]
+    if bits == 4:
+        w = unpack_int4(w)
+    x = x_ref[:]
+    acc = jnp.dot(
+        x.astype(jnp.float32), w.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = (acc * s_ref[0][None].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def pallas_qmatmul(
+    x: jax.Array, q: dict, block_n: int = 256, interpret: Optional[bool] = None
+) -> jax.Array:
+    """Small-M (decode) quantized matmul via Pallas. x: (..., K);
+    q: {"w_q": (K, N) int8} or {"w_q4": (K/2, N) int8} + "scale" (N,)."""
+    from jax.experimental import pallas as pl
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    bits = 4 if "w_q4" in q else 8
+    w = q["w_q4"] if bits == 4 else q["w_q"]
+    n = w.shape[1]
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    m = 1
+    for s in lead:
+        m *= s
+    x2 = x.reshape(m, k)
+    while n % block_n:
+        block_n //= 2
+    out = pl.pallas_call(
+        __import__("functools").partial(_qmv_kernel, bits=bits),
+        grid=(n // block_n,),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda i: (0, 0)),
+            pl.BlockSpec((w.shape[0], block_n), lambda i: (0, i)),
+            # scale as (1, N): 1-D operands hit XLA/Mosaic tiling-layout
+            # mismatches (T(1024) vs T(bn))
+            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((m, block_n), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        interpret=interpret,
+    )(x2, w, q["scale"].reshape(1, -1).astype(jnp.float32))
+    return out.reshape(*lead, n)

@@ -25,13 +25,29 @@ def test_int8_roundtrip_error_bounded():
 def test_int4_pack_unpack_exact():
     rs = np.random.RandomState(1)
     q = jnp.asarray(rs.randint(-7, 8, (16, 8)).astype(np.int8))
-    scale = jnp.ones((8,))
-    lo = q[0::2] & 0x0F
-    hi = (q[1::2] & 0x0F) << 4
+    lo = q[:8] & 0x0F  # half-split packing: first half rows in low nibble
+    hi = (q[8:] & 0x0F) << 4
     packed = (lo | hi).astype(jnp.int8)
     unpacked = Q.unpack_int4(packed)
     np.testing.assert_array_equal(np.asarray(unpacked), np.asarray(q))
-    del scale
+
+
+def test_pallas_qmatmul_matches_dequant():
+    rs = np.random.RandomState(3)
+    w = jnp.asarray(rs.randn(64, 128).astype(np.float32))
+    x = jnp.asarray(rs.randn(2, 64).astype(np.float32))
+    q8 = Q.quantize_weight(w)
+    np.testing.assert_allclose(
+        np.asarray(Q.pallas_qmatmul(x, q8)),
+        np.asarray(x @ Q.dequantize_weight(q8)),
+        atol=1e-3, rtol=1e-3,
+    )
+    q4 = Q.quantize_weight_int4(w)
+    np.testing.assert_allclose(
+        np.asarray(Q.pallas_qmatmul(x, q4)),
+        np.asarray(Q.int4_matmul(x, q4)),
+        atol=1e-3, rtol=1e-3,
+    )
 
 
 def test_linear_dispatches_on_quantized_params():
