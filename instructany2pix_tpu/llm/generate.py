@@ -54,7 +54,7 @@ def keyword_stop_sequences(tokenizer, keywords: Sequence[str]) -> Tuple[Tuple[in
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "temperature", "eos_id", "max_len", "bucket",
-        "stop_sequences",
+        "stop_sequences", "dynamic_stop",
     ),
 )
 def generate(
@@ -69,6 +69,7 @@ def generate(
     bucket: Optional[int] = None,
     stop_sequences: Tuple[Tuple[int, ...], ...] = (),
     prefix_pads: Optional[jax.Array] = None,
+    dynamic_stop: bool = False,
 ) -> GenerateResult:
     b, s, _ = inputs_embeds.shape
     # prompt-length bucketing: left-pad to a multiple of `bucket` so the
@@ -143,14 +144,49 @@ def generate(
             nxt, out["hidden_norm"][:, -1], stop & ~done
         )
 
-    carry = (cache, tok0, recent0, stop0, key)
-    (_, _, _, _, _), (toks, hids, stops) = jax.lax.scan(
-        step, carry, None, length=max_new_tokens - 1
-    )
+    if not dynamic_stop:
+        carry = (cache, tok0, recent0, stop0, key)
+        (_, _, _, _, _), (toks, hids, stops) = jax.lax.scan(
+            step, carry, None, length=max_new_tokens - 1
+        )
+        tokens = jnp.concatenate([tok0[:, None], jnp.moveaxis(toks, 0, 1)], axis=1)
+        hiddens = jnp.concatenate([h_last[:, None], jnp.moveaxis(hids, 0, 1)], axis=1)
+        stopped = jnp.concatenate([stop0[:, None], jnp.moveaxis(stops, 0, 1)], axis=1)
+    else:
+        # early-exit decode: a while_loop that stops once EVERY row hit
+        # EOS/keyword — interactive latency scales with the actual
+        # output length instead of max_new_tokens (the fixed-length scan
+        # remains the batcher's predictable-cost path)
+        d = h_last.shape[-1]
+        tokens0 = jnp.full((b, max_new_tokens), eos_id, tok0.dtype)
+        tokens0 = tokens0.at[:, 0].set(tok0)
+        hiddens0 = jnp.zeros((b, max_new_tokens, d), h_last.dtype)
+        hiddens0 = hiddens0.at[:, 0].set(h_last)
+        stopped0_buf = jnp.zeros((b, max_new_tokens), bool).at[:, 0].set(stop0)
 
-    tokens = jnp.concatenate([tok0[:, None], jnp.moveaxis(toks, 0, 1)], axis=1)
-    hiddens = jnp.concatenate([h_last[:, None], jnp.moveaxis(hids, 0, 1)], axis=1)
-    stopped = jnp.concatenate([stop0[:, None], jnp.moveaxis(stops, 0, 1)], axis=1)
+        def cond(state):
+            i, carry, *_ = state
+            done = carry[3]
+            return (i < max_new_tokens) & ~jnp.all(done)
+
+        def body(state):
+            i, carry, tokens, hiddens, stopped = state
+            carry, (nxt, h, stop) = step(carry, None)
+            tokens = jax.lax.dynamic_update_slice_in_dim(
+                tokens, nxt[:, None], i, axis=1
+            )
+            hiddens = jax.lax.dynamic_update_slice_in_dim(
+                hiddens, h[:, None], i, axis=1
+            )
+            stopped = jax.lax.dynamic_update_slice_in_dim(
+                stopped, stop[:, None], i, axis=1
+            )
+            return (i + 1, carry, tokens, hiddens, stopped)
+
+        carry = (cache, tok0, recent0, stop0, key)
+        _, _, tokens, hiddens, stopped = jax.lax.while_loop(
+            cond, body, (jnp.asarray(1), carry, tokens0, hiddens0, stopped0_buf)
+        )
     done_at = jnp.where(
         jnp.any(stopped, axis=1), jnp.argmax(stopped, axis=1), max_new_tokens
     )

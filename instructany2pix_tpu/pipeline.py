@@ -282,6 +282,10 @@ class InstructAny2PixPipeline:
                 temperature=0.3,
                 eos_id=eos_id,
                 bucket=64,  # bound compile count across prompt lengths
+                # interactive path: stop decoding at EOS instead of
+                # paying all 100 steps (serving.PipelineServer keeps the
+                # fixed-length scan for predictable batch cost)
+                dynamic_stop=True,
             )
         n_out = min(int(result.done_at[0]) + 1, result.tokens.shape[1])
         out = self._postprocess_llm(

@@ -234,6 +234,35 @@ def test_keyword_stop_sequences_helper():
     assert seqs[1] == (tok.eos_token_id,)
 
 
+def test_generate_dynamic_stop_matches_scan(rng):
+    """while_loop early-exit decode returns identical tokens/hiddens up
+    to done_at as the fixed-length scan."""
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init(rng, cfg)
+    ids = jnp.asarray([[1, 5, 9, 20], [1, 7, 3, 2]])
+    emb = llama.embed(params, ids)
+    a = gen_lib.generate(params, cfg, emb, jax.random.key(0), max_new_tokens=8,
+                         temperature=0.0, eos_id=2, max_len=24)
+    d = gen_lib.generate(params, cfg, emb, jax.random.key(0), max_new_tokens=8,
+                         temperature=0.0, eos_id=2, max_len=24, dynamic_stop=True)
+    np.testing.assert_array_equal(np.asarray(a.done_at), np.asarray(d.done_at))
+    for i in range(2):
+        n = min(int(a.done_at[i]) + 1, 8)
+        np.testing.assert_array_equal(
+            np.asarray(a.tokens[i, :n]), np.asarray(d.tokens[i, :n])
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.hiddens[i, :n]), np.asarray(d.hiddens[i, :n]),
+            atol=2e-4, rtol=1e-3,
+        )
+    # early stop: force first greedy token as eos, loop exits immediately
+    first = int(jnp.argmax(llama.forward(params, cfg, input_ids=ids[:1])["logits"][0, -1]))
+    e = gen_lib.generate(params, cfg, llama.embed(params, ids[:1]),
+                         jax.random.key(0), max_new_tokens=8, temperature=0.0,
+                         eos_id=first, max_len=24, dynamic_stop=True)
+    assert int(e.done_at[0]) == 0
+
+
 def test_generate_bucketed_matches_unbucketed(rng):
     """Left-padded bucketing must be a pure compile-count optimization:
     greedy outputs identical to the unbucketed run."""
