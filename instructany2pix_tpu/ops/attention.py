@@ -62,13 +62,17 @@ def dot_product_attention(
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
 
+    # Measured crossover on v5e at d=64 (BASELINE.md r2): flash wins at
+    # 256 tokens (233 vs 379 µs) and from 2048 up (XLA falls off a cliff
+    # at ≥4096: 2.9 vs 9.5 ms); XLA wins the 512-1024 window (its fused
+    # softmax beats the kernel while everything still fits VMEM-friendly
+    # tiles).
     use_flash = impl == "flash" or (
         impl == "auto"
         and _tpu_available()
         and mask is None
-        and sq >= 256
-        and sk >= 256
         and d <= 256
+        and ((256 <= sk < 512 and sq >= 256) or (sq >= 2048 and sk >= 2048))
     )
     if use_flash:
         qt = jnp.swapaxes(q, 1, 2)

@@ -143,7 +143,12 @@ def _round_up(x, m):
 
 
 def _reference_attention(q, k, v, causal, scale):
-    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    # operands stay in their input dtype (bf16 on the fast path — fp32
+    # OPERANDS would halve the MXU rate); accumulation is fp32, so the
+    # logits feeding softmax keep full precision
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
     s = s * scale
     if causal:
         sq, sk = s.shape[-2], s.shape[-1]
