@@ -106,6 +106,8 @@ def bench_llm(t_sync, quant: str):
         )
         jax.block_until_ready(params)
         log(f"  {quant} weight quantization: {time.perf_counter() - t0:.1f}s")
+        # single-chip decode: 4 fused matvec kernels/layer instead of 7
+        params = llama.fuse_projections(params)
 
     prompt_len, new_tokens = 128, 100
     emb = jax.random.normal(

@@ -29,23 +29,38 @@ def linear_init(key, in_dim, out_dim, bias=True, scale=None, dtype=jnp.float32):
     return p
 
 
+def _use_pallas_qmv(p, x) -> bool:
+    # bandwidth-bound decode shapes (tiny M): the Pallas kernel's
+    # in-VMEM dequant beats the XLA fused-convert path (int8 85 vs
+    # 121 µs, int4 60-66 µs on 7B shapes — BASELINE.md r2); prefill
+    # (large M) is compute-bound and stays on the XLA/MXU path, as do
+    # lane-unaligned output dims (e.g. a 32009-wide vocab head)
+    import math
+
+    m = math.prod(x.shape[:-1]) if x.ndim > 1 else 1
+    n = (p["w_q"] if "w_q" in p else p["w_q4"]).shape[1]
+    return m <= 16 and n % 128 == 0 and jax.default_backend() == "tpu"
+
+
 def linear(p, x, compute_dtype=None):
-    if "w_q" in p:
-        # int8 weight-only quantization (ops/quant.py): the int8 kernel
-        # is read from HBM and converted in-registers (XLA fuses the
-        # convert into the dot operand), halving weight bandwidth — the
-        # TPU counterpart of the reference's bitsandbytes 4-bit LLM
+    if "w_q" in p or "w_q4" in p:
+        # weight-only quantization (ops/quant.py): the int8/int4 kernel
+        # is read from HBM and dequantized in-registers/VMEM, so decode
+        # reads 1 or 0.5 bytes per weight instead of 2 — the TPU
+        # counterpart of the reference's bitsandbytes 4-bit LLM
         # (reference pipeline.py:30). Per-output-channel scales.
         if compute_dtype is not None:
             x = x.astype(compute_dtype)
-        y = (x @ p["w_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
-        if "b" in p:
-            y = y + p["b"].astype(y.dtype)
-        return y
-    if "w_q4" in p:
-        from ..ops.quant import int4_matmul
+        if _use_pallas_qmv(p, x):
+            from ..ops.quant import pallas_qmatmul
 
-        y = int4_matmul(x if compute_dtype is None else x.astype(compute_dtype), p)
+            y = pallas_qmatmul(x, p)
+        elif "w_q" in p:
+            y = (x @ p["w_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+        else:
+            from ..ops.quant import int4_matmul
+
+            y = int4_matmul(x, p)
         if "b" in p:
             y = y + p["b"].astype(y.dtype)
         return y

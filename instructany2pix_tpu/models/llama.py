@@ -121,6 +121,38 @@ def embed(params, input_ids):
     return L.embedding(params["embed_tokens"], input_ids)
 
 
+def fuse_projections(params):
+    """Inference-time transform: concat q|k|v → "qkv" and gate|up →
+    "gate_up" per layer, so bandwidth-bound decode runs 4 matvec
+    kernels per layer instead of 7 (fewer launches, longer DMA
+    pipelines). Works on float ("w"), LoRA-free int8 ("w_q") and packed
+    int4 ("w_q4") trees — all concat along the output axis, and
+    per-output-channel scales concat with them. Semantics-preserving
+    (tests/test_llm_models.py); apply after checkpoint load or after
+    ops.quant.quantize_llama, before jit. For single-device or
+    data-parallel decode only: the TP rules in parallel/sharding.py
+    shard the UNFUSED names (a fused qkv shard would cross the q/k/v
+    boundaries)."""
+
+    def cat(parts):
+        for key in ("w", "w_q", "w_q4"):
+            if key in parts[0]:
+                out = {key: jnp.concatenate([p[key] for p in parts], axis=1)}
+                if key != "w":
+                    out["scale"] = jnp.concatenate([p["scale"] for p in parts])
+                return out
+        raise ValueError("unfusable projection params")
+
+    out = {}
+    for name, node in params.items():
+        if name.startswith("layer_") and "q" in node and "gate" in node:
+            node = dict(node)
+            node["qkv"] = cat([node.pop("q"), node.pop("k"), node.pop("v")])
+            node["gate_up"] = cat([node.pop("gate"), node.pop("up")])
+        out[name] = node
+    return out
+
+
 def _block(p, x, positions, cfg, mask, cache_kv=None, cache_len=None,
            prefix_pad=None):
     """One decoder layer. Returns (x, (k_new, v_new)) where k_new/v_new
@@ -128,9 +160,16 @@ def _block(p, x, positions, cfg, mask, cache_kv=None, cache_len=None,
     b, s, d = x.shape
     hd = cfg.head_dim
     h = L.rms_norm(p["input_norm"], x, cfg.rms_eps)
-    q = L.linear(p["q"], h).reshape(b, s, cfg.num_heads, hd)
-    k = L.linear(p["k"], h).reshape(b, s, cfg.num_kv_heads, hd)
-    v = L.linear(p["v"], h).reshape(b, s, cfg.num_kv_heads, hd)
+    if "qkv" in p:
+        qkv = L.linear(p["qkv"], h)
+        nq, nkv = cfg.num_heads * hd, cfg.num_kv_heads * hd
+        q = qkv[..., :nq].reshape(b, s, cfg.num_heads, hd)
+        k = qkv[..., nq:nq + nkv].reshape(b, s, cfg.num_kv_heads, hd)
+        v = qkv[..., nq + nkv:].reshape(b, s, cfg.num_kv_heads, hd)
+    else:
+        q = L.linear(p["q"], h).reshape(b, s, cfg.num_heads, hd)
+        k = L.linear(p["k"], h).reshape(b, s, cfg.num_kv_heads, hd)
+        v = L.linear(p["v"], h).reshape(b, s, cfg.num_kv_heads, hd)
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
 
@@ -161,7 +200,12 @@ def _block(p, x, positions, cfg, mask, cache_kv=None, cache_len=None,
         new_kv = (k, v)
     x = x + L.linear(p["o"], o.reshape(b, s, cfg.num_heads * hd))
     h = L.rms_norm(p["post_norm"], x, cfg.rms_eps)
-    x = x + L.linear(p["down"], L.silu(L.linear(p["gate"], h)) * L.linear(p["up"], h))
+    if "gate_up" in p:
+        gu = L.linear(p["gate_up"], h)
+        g, u = jnp.split(gu, 2, axis=-1)
+        x = x + L.linear(p["down"], L.silu(g) * u)
+    else:
+        x = x + L.linear(p["down"], L.silu(L.linear(p["gate"], h)) * L.linear(p["up"], h))
     return x, new_kv
 
 

@@ -96,7 +96,15 @@ def quantize_tree(
     near-HBM-capacity model (7B bf16 on a 16 GB chip) can be quantized
     in place without holding both trees."""
     match = should_quantize or (lambda p: bool(_DEFAULT_PATTERN.search(p)))
-    qfn = quantize_weight if bits == 8 else quantize_weight_int4
+
+    def qfn(w):
+        # int4 only where the Pallas decode kernel can take it (even K
+        # for nibble packing, lane-aligned N); odd shapes — e.g. the
+        # 32009-wide vocab head — stay int8 so they never hit the slow
+        # XLA shift-unpack path
+        if bits == 4 and w.shape[0] % 2 == 0 and w.shape[1] % 128 == 0:
+            return quantize_weight_int4(w)
+        return quantize_weight(w)
 
     def walk(node, path):
         if isinstance(node, dict):
@@ -136,20 +144,22 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int):
     (K, bn) int8 (or (K/2, bn) packed int4) dequantized in VMEM — the
     bf16 kernel never exists in HBM, so decode reads bits/8 bytes per
     weight instead of 2 (the reference's raison d'être for bnb-4bit,
-    pipeline.py:30)."""
+    pipeline.py:30). Dequant lands in the activation dtype — for the
+    production bf16 path that's exact for int8/int4 magnitudes (≤255
+    fits bf16's 8-bit mantissa) and halves the VMEM footprint of the
+    unpacked tile vs f32."""
     w = w_ref[:]
     if bits == 4:
         w = unpack_int4(w)
     x = x_ref[:]
     acc = jnp.dot(
-        x.astype(jnp.float32), w.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+        x, w.astype(x.dtype), preferred_element_type=jnp.float32,
     )
     o_ref[:] = (acc * s_ref[0][None].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 def pallas_qmatmul(
-    x: jax.Array, q: dict, block_n: int = 256, interpret: Optional[bool] = None
+    x: jax.Array, q: dict, block_n: int = 512, interpret: Optional[bool] = None
 ) -> jax.Array:
     """Small-M (decode) quantized matmul via Pallas. x: (..., K);
     q: {"w_q": (K, N) int8} or {"w_q4": (K/2, N) int8} + "scale" (N,)."""
@@ -168,6 +178,10 @@ def pallas_qmatmul(
         m *= s
     x2 = x.reshape(m, k)
     while n % block_n:
+        block_n //= 2
+    # VMEM budget: packed block + unpacked bf16 tile (+ double buffering)
+    # must stay well under the 16 MB scoped limit
+    while block_n > 128 and k * block_n * (2 + bits / 8) > 6e6:
         block_n //= 2
     out = pl.pallas_call(
         __import__("functools").partial(_qmv_kernel, bits=bits),

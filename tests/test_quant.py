@@ -88,6 +88,36 @@ def test_quantize_llama_generates_close_tokens():
     assert int(a.tokens[0, 0]) == int(b.tokens[0, 0])
 
 
+def test_fuse_projections_preserves_forward():
+    """fuse_projections (qkv + gate_up concat) is semantics-preserving
+    on float and quantized trees."""
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init(jax.random.key(0), cfg)
+    ids = jnp.asarray([[1, 5, 9, 20]])
+    ref = llama.forward(params, cfg, input_ids=ids)["logits"]
+
+    fused = llama.fuse_projections(params)
+    assert "qkv" in fused["layer_0"] and "q" not in fused["layer_0"]
+    got = llama.forward(fused, cfg, input_ids=ids)["logits"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    qfused = llama.fuse_projections(Q.quantize_llama(params))
+    assert "w_q" in qfused["layer_0"]["qkv"]
+    qref = llama.forward(Q.quantize_llama(params), cfg, input_ids=ids)["logits"]
+    qgot = llama.forward(qfused, cfg, input_ids=ids)["logits"]
+    np.testing.assert_allclose(np.asarray(qgot), np.asarray(qref), atol=1e-4, rtol=1e-4)
+
+
+def test_int4_skips_lane_unaligned_weights():
+    """bits=4 falls back to int8 where the Pallas kernel can't run
+    (odd N like the 32009-wide vocab head) — never the slow XLA unpack."""
+    p = {"head": {"w": jnp.ones((64, 130), jnp.float32)},
+         "proj": {"w": jnp.ones((64, 128), jnp.float32)}}
+    q = Q.quantize_tree(p, should_quantize=lambda _: True, bits=4)
+    assert "w_q" in q["head"] and "w_q4" not in q["head"]
+    assert "w_q4" in q["proj"]
+
+
 def test_quantized_param_size_halves():
     cfg = llama.LlamaConfig.tiny()
     params = jax.tree.map(
