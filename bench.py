@@ -3,10 +3,13 @@ TPU chip (BASELINE.json north-star config; VERDICT r1 item 1).
 
 Measures every stage of `InstructAny2PixPipeline.__call__` at FULL model
 size (reference pipeline.py:303-386 trace):
-  1. LLM generation  — vicuna-7B-class decoder, bf16 (or int8
-     weight-only when IA2P_BENCH_LLM_QUANT=int8, matching the
-     reference's 4-bit-quantized LLM, pipeline.py:30), 128-token prompt
-     prefill + 100-token KV-cached decode in ONE jitted graph.
+  1. LLM generation  — vicuna-7B-class decoder, weight-only
+     quantized per IA2P_BENCH_LLM_QUANT: int4 (default; blockwise
+     group-128 scales = the reference's bnb-NF4 precision class,
+     pipeline.py:30), int4pc (faster per-channel scales), int8, or
+     bf16. 128-token prompt prefill + 100-token KV-cached decode in
+     ONE jitted graph, Pallas decode matvec kernels, fused
+     qkv/gate_up projections.
   2. Text encodes    — SDXL text1+text2 (3 prompts) + prior CLIP-H.
   3. Diffusion prior — GPT-2-medium, no_diffusion single step.
   4. VAE encode/decode at 512² (encode for inversion, decode after
@@ -97,12 +100,13 @@ def bench_llm(t_sync, quant: str):
     params = init_bf16(lambda k: llama.init(k, cfg), jax.random.key(0))
     log(f"  init 7B bf16: {time.perf_counter() - t0:.1f}s")
 
-    if quant in ("int8", "int4"):
+    if quant in ("int8", "int4", "int4pc"):
         from instructany2pix_tpu.ops import quant as quant_lib
 
         t0 = time.perf_counter()
         params = quant_lib.quantize_llama(
-            params, bits=8 if quant == "int8" else 4, free_originals=True
+            params, bits=8 if quant == "int8" else 4, free_originals=True,
+            int4_grouped=(quant != "int4pc"),
         )
         jax.block_until_ready(params)
         log(f"  {quant} weight quantization: {time.perf_counter() - t0:.1f}s")
@@ -133,7 +137,7 @@ def bench_llm(t_sync, quant: str):
 
 
 def main():
-    quant = os.environ.get("IA2P_BENCH_LLM_QUANT", "int8")
+    quant = os.environ.get("IA2P_BENCH_LLM_QUANT", "int4")
     dev = jax.devices()[0]
     log(f"device: {dev}")
 

@@ -138,8 +138,10 @@ def fuse_projections(params):
         for key in ("w", "w_q", "w_q4"):
             if key in parts[0]:
                 out = {key: jnp.concatenate([p[key] for p in parts], axis=1)}
-                if key != "w":
+                if "scale" in parts[0]:
                     out["scale"] = jnp.concatenate([p["scale"] for p in parts])
+                if "gscale" in parts[0]:
+                    out["gscale"] = jnp.concatenate([p["gscale"] for p in parts], axis=1)
                 return out
         raise ValueError("unfusable projection params")
 

@@ -17,14 +17,14 @@ BASELINE.md: 10.1 ms/token ≈ the int8 floor, not the 16.5 ms bf16
 floor).
 
 int4 uses the same contract with two nibbles packed per int8 byte
-("w_q4", (in/2, out), half-split rows). STATUS (r2, measured on v5e):
-int8 decode through the XLA dequant path runs at ~81% of the int8
-bandwidth floor inside the generate scan (10.1 ms/token for 7B) — the
-production default. int4 is EXPERIMENTAL: XLA materializes the unpack
-(11 s/100 tok) and the Pallas kernel's in-VMEM nibble unpack is
-VPU-bound (~350 µs per 4096×11008 matvec vs 28 µs int8); a
-lookup-table/bitcast Mosaic unpack is future work. `pallas_qmatmul`
-is correct for both widths (tests/test_quant.py).
+("w_q4", (in/2, out), half-split rows), with either per-channel
+"scale" (N,) or blockwise "gscale" (K/128, N) — the NF4/GPTQ-class
+scheme matching the reference's bnb-NF4 quality. STATUS (r2, v5e):
+decode (M≤16) routes through `pallas_qmatmul` via `layers.linear` —
+in-loop matvec at 7B shapes: int4 66 µs / int4-grouped 77 µs / int8
+85 µs vs 121 µs for the XLA fused-dequant path; full 7B
+prefill+100-tok decode: 724 / 905 / 973 ms (with fused qkv+gate_up,
+`llama.fuse_projections`). Prefill and CPU stay on the XLA path.
 """
 
 from __future__ import annotations
@@ -64,6 +64,40 @@ def quantize_weight_int4(w: jax.Array) -> dict:
     return {"w_q4": (lo | hi).astype(jnp.int8), "scale": scale}
 
 
+def quantize_weight_int4_grouped(w: jax.Array, group: int = 128) -> dict:
+    """(in, out) → packed int4 + per-(group, out) scales. Blockwise
+    scales along the contraction dim are what make 4-bit weight-only
+    usable on a 7B (the reference's bitsandbytes NF4 uses 64-wide
+    blocks, pipeline.py:30; GPTQ/AWQ use 128): one outlier no longer
+    poisons a whole column. `in` must be divisible by 2*group so the
+    half-split nibble packing never straddles a scale group."""
+    k, n = w.shape
+    assert k % (2 * group) == 0, (k, group)
+    w = w.astype(jnp.float32)
+    g = k // group
+    wg = w.reshape(g, group, n)
+    amax = jnp.max(jnp.abs(wg), axis=1)  # (G, N)
+    gscale = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(wg / gscale[:, None, :]), -7, 7)
+    q = q.reshape(k, n).astype(jnp.int8)
+    half = k // 2
+    lo = q[:half] & 0x0F
+    hi = (q[half:] & 0x0F) << 4
+    return {"w_q4": (lo | hi).astype(jnp.int8), "gscale": gscale}
+
+
+def _group_of(q: dict) -> int:
+    # group size is implied by the shapes (keeps the param dict all-array
+    # so pytree maps/flattens stay uniform)
+    return 2 * q["w_q4"].shape[0] // q["gscale"].shape[0]
+
+
+def dequantize_weight_int4_grouped(q: dict, dtype=jnp.float32) -> jax.Array:
+    vals = unpack_int4(q["w_q4"]).astype(dtype)  # (K, N)
+    s = jnp.repeat(q["gscale"].astype(dtype), _group_of(q), axis=0)
+    return vals * s
+
+
 def unpack_int4(packed: jax.Array) -> jax.Array:
     """(in/2, out) packed → (in, out) int8-valued in [-7, 7] (int32
     carrier — Mosaic cannot shift i8 vectors)."""
@@ -74,6 +108,8 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
 
 
 def int4_matmul(x: jax.Array, q: dict) -> jax.Array:
+    if "gscale" in q:
+        return x @ dequantize_weight_int4_grouped(q, x.dtype)
     w = unpack_int4(q["w_q4"]).astype(x.dtype)
     return (x @ w) * q["scale"].astype(x.dtype)
 
@@ -88,6 +124,7 @@ def quantize_tree(
     should_quantize: Optional[Callable[[str], bool]] = None,
     bits: int = 8,
     free_originals: bool = False,
+    int4_grouped: bool = True,
 ):
     """Walk a param pytree, replacing matched linear subtrees
     ({"w": 2D, ...}) with their quantized form. `should_quantize`
@@ -101,9 +138,15 @@ def quantize_tree(
         # int4 only where the Pallas decode kernel can take it (even K
         # for nibble packing, lane-aligned N); odd shapes — e.g. the
         # 32009-wide vocab head — stay int8 so they never hit the slow
-        # XLA shift-unpack path
-        if bits == 4 and w.shape[0] % 2 == 0 and w.shape[1] % 128 == 0:
-            return quantize_weight_int4(w)
+        # XLA shift-unpack path. Default: blockwise (group-128) scales
+        # whenever K allows — the NF4/GPTQ-class quality scheme, matching
+        # the reference's bnb-NF4 precision (pipeline.py:30) at ~905 ms
+        # vs 724 ms for the lossier per-channel variant (BASELINE.md r2).
+        if bits == 4 and w.shape[1] % 128 == 0:
+            if int4_grouped and w.shape[0] % 256 == 0:
+                return quantize_weight_int4_grouped(w)
+            if w.shape[0] % 2 == 0:
+                return quantize_weight_int4(w)
         return quantize_weight(w)
 
     def walk(node, path):
@@ -117,7 +160,7 @@ def quantize_tree(
                     # the relay queue)
                     qk = "w_q" if "w_q" in q else "w_q4"
                     float(jnp.sum(q[qk].astype(jnp.int32)))
-                    float(jnp.sum(q["scale"]))
+                    float(jnp.sum(q.get("scale", q.get("gscale"))))
                     try:
                         node["w"].delete()
                     except Exception:
@@ -130,16 +173,20 @@ def quantize_tree(
     return walk(params, "")
 
 
-def quantize_llama(params, bits: int = 8, free_originals: bool = False):
+def quantize_llama(params, bits: int = 8, free_originals: bool = False,
+                   int4_grouped: bool = True):
     """Quantize every decoder linear (q/k/v/o/gate/up/down + lm_head);
-    embeddings and norms stay bf16 (lookup tables and tiny vectors)."""
-    return quantize_tree(params, bits=bits, free_originals=free_originals)
+    embeddings and norms stay bf16 (lookup tables and tiny vectors).
+    `int4_grouped=False` trades NF4-class blockwise scales for the
+    faster per-channel int4 decode kernel."""
+    return quantize_tree(params, bits=bits, free_originals=free_originals,
+                         int4_grouped=int4_grouped)
 
 
 # ------------------------------------------------- Pallas decode kernel
 
 
-def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int):
+def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False):
     """One output tile of x @ dequant(W): x (M, K) resident, W block
     (K, bn) int8 (or (K/2, bn) packed int4) dequantized in VMEM — the
     bf16 kernel never exists in HBM, so decode reads bits/8 bytes per
@@ -152,23 +199,41 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int):
     if bits == 4:
         w = unpack_int4(w)
     x = x_ref[:]
-    acc = jnp.dot(
-        x, w.astype(x.dtype), preferred_element_type=jnp.float32,
-    )
-    o_ref[:] = (acc * s_ref[0][None].astype(jnp.float32)).astype(o_ref.dtype)
+    if grouped:
+        # blockwise scales (G, bn): one partial dot per scale group,
+        # scaled into the f32 accumulator. Beats scaling the whole
+        # dequantized tile (VPU: G·bn multiplies instead of K·bn) —
+        # 77 vs 88 µs at 7B shapes (BASELINE.md r2)
+        g_count = s_ref.shape[0]
+        group = w.shape[0] // g_count
+        wd = w.astype(x.dtype)
+        acc = jnp.zeros((x.shape[0], o_ref.shape[1]), jnp.float32)
+        for g in range(g_count):
+            part = jnp.dot(
+                x[:, g * group:(g + 1) * group],
+                wd[g * group:(g + 1) * group],
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + part * s_ref[g][None]
+        o_ref[:] = acc.astype(o_ref.dtype)
+    else:
+        acc = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+        o_ref[:] = (acc * s_ref[0][None].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 def pallas_qmatmul(
     x: jax.Array, q: dict, block_n: int = 512, interpret: Optional[bool] = None
 ) -> jax.Array:
     """Small-M (decode) quantized matmul via Pallas. x: (..., K);
-    q: {"w_q": (K, N) int8} or {"w_q4": (K/2, N) int8} + "scale" (N,)."""
+    q: {"w_q": (K, N) int8} or {"w_q4": (K/2, N) int8}, with "scale"
+    (N,) per-channel or "gscale" (K/group, N) blockwise (int4 only)."""
     from jax.experimental import pallas as pl
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
     bits = 4 if "w_q4" in q else 8
+    grouped = "gscale" in q
     w = q["w_q4"] if bits == 4 else q["w_q"]
     n = w.shape[1]
     lead = x.shape[:-1]
@@ -179,22 +244,26 @@ def pallas_qmatmul(
     x2 = x.reshape(m, k)
     while n % block_n:
         block_n //= 2
-    # VMEM budget: packed block + unpacked bf16 tile (+ double buffering)
-    # must stay well under the 16 MB scoped limit
+    # VMEM budget: packed block + unpacked bf16 tile (+ double
+    # buffering) must stay well under the 16 MB scoped limit
     while block_n > 128 and k * block_n * (2 + bits / 8) > 6e6:
         block_n //= 2
+    if grouped:
+        scales = q["gscale"].astype(jnp.float32)  # (G, N)
+    else:
+        # scale as (1, N): 1-D operands hit XLA/Mosaic tiling-layout
+        # mismatches (T(1024) vs T(bn))
+        scales = q["scale"].reshape(1, -1).astype(jnp.float32)
     out = pl.pallas_call(
-        __import__("functools").partial(_qmv_kernel, bits=bits),
+        __import__("functools").partial(_qmv_kernel, bits=bits, grouped=grouped),
         grid=(n // block_n,),
         in_specs=[
             pl.BlockSpec((m, k), lambda i: (0, 0)),
             pl.BlockSpec((w.shape[0], block_n), lambda i: (0, i)),
-            # scale as (1, N): 1-D operands hit XLA/Mosaic tiling-layout
-            # mismatches (T(1024) vs T(bn))
-            pl.BlockSpec((1, block_n), lambda i: (0, i)),
+            pl.BlockSpec((scales.shape[0], block_n), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((m, block_n), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         interpret=interpret,
-    )(x2, w, q["scale"].reshape(1, -1).astype(jnp.float32))
+    )(x2, w, scales)
     return out.reshape(*lead, n)
