@@ -155,6 +155,10 @@ def make_cfg_eps_fn(
     extra2 = (
         jnp.tile(extra_channels, (mult, 1, 1, 1)) if extra_channels is not None else None
     )
+    # the context is constant across the whole scan: project it through
+    # every cross-attention's to_k/to_v (and to_k_ip/to_v_ip) once here
+    # instead of per step per layer (models/unet.py precompute_cross_kv)
+    cross_kv = unet_lib.precompute_cross_kv(unet_params, unet_cfg, ctx2, ip2)
 
     def eps_fn(lat, t, i):
         lat_in = jnp.tile(lat, (mult, 1, 1, 1))
@@ -175,6 +179,7 @@ def make_cfg_eps_fn(
             time_ids=tid2,
             ip_tokens=ip2,
             ip_scale=scale_i,
+            cross_kv=cross_kv,
         )
         if do_cfg:
             eps_u, eps_c = jnp.split(eps, 2, axis=0)

@@ -156,10 +156,18 @@ def _attn_init(kc, dim, ctx_dim, heads, with_ip=False):
     return p
 
 
-def _attn(p, x, ctx, heads, ip_tokens=None, ip_scale=1.0, taps=None, tap_key=None):
+def _attn(p, x, ctx, heads, ip_tokens=None, ip_scale=1.0, taps=None, tap_key=None,
+          kv_pre=None):
     b, s, d = x.shape
     hd = d // heads
-    if "to_qkv" in p:
+    if kv_pre is not None:
+        # cross-attention K/V precomputed once per edit
+        # (precompute_cross_kv): the text/IP context is constant across
+        # the whole denoise scan, so the per-step per-layer ctx
+        # projections are pure re-computation
+        q = L.linear(p["to_q"], x).reshape(b, s, heads, hd)
+        k, v = kv_pre["k"], kv_pre["v"]
+    elif "to_qkv" in p:
         # fused self-attention projections (fuse_qkv transform): one
         # (d, 3d) matmul instead of three launches — the 72-layer stacks
         # are op-launch-bound at 256-1024 tokens (BASELINE.md r2)
@@ -179,7 +187,18 @@ def _attn(p, x, ctx, heads, ip_tokens=None, ip_scale=1.0, taps=None, tap_key=Non
         k = L.linear(p["to_k"], ctx).reshape(b, -1, heads, hd)
         v = L.linear(p["to_v"], ctx).reshape(b, -1, heads, hd)
     o = dot_product_attention(q, k, v).reshape(b, s, d)
-    if ip_tokens is not None and "to_k_ip" in p:
+    if kv_pre is not None and "k_ip" in kv_pre:
+        k_ip, v_ip = kv_pre["k_ip"], kv_pre["v_ip"]
+        if taps is not None:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_ip).astype(jnp.float32)
+            probs = jax.nn.softmax(logits / jnp.sqrt(float(hd)), axis=-1)
+            taps[tap_key] = probs
+            o_ip = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_ip.dtype), v_ip)
+            o_ip = o_ip.reshape(b, s, d)
+        else:
+            o_ip = dot_product_attention(q, k_ip, v_ip).reshape(b, s, d)
+        o = o + ip_scale * o_ip
+    elif ip_tokens is not None and "to_k_ip" in p:
         k_ip = L.linear(p["to_k_ip"], ip_tokens).reshape(b, -1, heads, hd)
         v_ip = L.linear(p["to_v_ip"], ip_tokens).reshape(b, -1, heads, hd)
         if taps is not None:
@@ -210,11 +229,13 @@ def _tblock_init(kc, dim, ctx_dim, heads, with_ip):
     }
 
 
-def _tblock(p, x, ctx, heads, ip_tokens, ip_scale, taps=None, tap_key=None):
+def _tblock(p, x, ctx, heads, ip_tokens, ip_scale, taps=None, tap_key=None,
+            kv_pre=None):
     h = L.layer_norm(p["norm1"], x)
     x = x + _attn(p["attn1"], h, h, heads)
     h = L.layer_norm(p["norm2"], x)
-    x = x + _attn(p["attn2"], h, ctx, heads, ip_tokens, ip_scale, taps, tap_key)
+    x = x + _attn(p["attn2"], h, ctx, heads, ip_tokens, ip_scale, taps, tap_key,
+                  kv_pre=kv_pre)
     h = L.layer_norm(p["norm3"], x)
     h = L.linear(p["ff_in"], h)
     a, g = jnp.split(h, 2, axis=-1)
@@ -235,7 +256,7 @@ def _transformer_init(kc, c, ctx_dim, heads, depth, with_ip, use_linear):
 
 def _transformer(
     p, x, ctx, heads, depth, groups, use_linear, ip_tokens, ip_scale,
-    taps=None, tap_prefix="",
+    taps=None, tap_prefix="", kv_tree=None,
 ):
     b, hh, ww, c = x.shape
     res = x
@@ -251,12 +272,78 @@ def _transformer(
         h = _tblock(
             p[f"block_{i}"], h, ctx, heads, ip_tokens, ip_scale,
             taps, f"{tap_prefix}.block_{i}" if taps is not None else None,
+            kv_pre=kv_tree[f"block_{i}"] if kv_tree is not None else None,
         )
     if use_linear:
         h = L.linear(p["proj_out"], h).reshape(b, hh, ww, c)
     else:
         h = L.conv2d(p["proj_out"], h.reshape(b, hh, ww, c))
     return h + res
+
+
+def _cross_kv_one(p, ctx, heads, ip_tokens):
+    b = ctx.shape[0]
+    d = p["to_q"]["w"].shape[1]
+    hd = d // heads
+    if "to_kv" in p:
+        kv = L.linear(p["to_kv"], ctx)
+        k, v = jnp.split(kv, 2, axis=-1)
+    else:
+        k = L.linear(p["to_k"], ctx)
+        v = L.linear(p["to_v"], ctx)
+    out = {"k": k.reshape(b, -1, heads, hd), "v": v.reshape(b, -1, heads, hd)}
+    if ip_tokens is not None and "to_k_ip" in p:
+        out["k_ip"] = L.linear(p["to_k_ip"], ip_tokens).reshape(b, -1, heads, hd)
+        out["v_ip"] = L.linear(p["to_v_ip"], ip_tokens).reshape(b, -1, heads, hd)
+    return out
+
+
+def precompute_cross_kv(params, cfg: UNetConfig, encoder_hidden_states,
+                        ip_tokens=None):
+    """Project the text (and IP) context through every cross-attention's
+    to_k/to_v ONCE. The context is constant across a whole denoise /
+    inversion scan, so the per-step re-projection in all ~70 transformer
+    layers (reference runs it inside each IPAttnProcessor call,
+    attention_processor.py:282+) is pure recomputation — hoisting it
+    saves 2 (+2 IP) small matmuls per layer per step. Pass the result as
+    `apply(..., cross_kv=...)`; batch must match `sample`'s. ~28 MB for
+    the SDXL config at CFG batch 2 — scan-loop constant, not carried."""
+    ctx = encoder_hidden_states
+    out = {}
+    for i, btype in enumerate(cfg.down_block_types):
+        if btype != "CrossAttnDownBlock2D":
+            continue
+        blk = {}
+        for j in range(cfg.layers_per_block):
+            t = {}
+            for kblk in range(cfg.transformer_layers_per_block[i]):
+                t[f"block_{kblk}"] = _cross_kv_one(
+                    params[f"down_{i}"][f"attn_{j}"][f"block_{kblk}"]["attn2"],
+                    ctx, cfg.num_attention_heads[i], ip_tokens)
+            blk[f"attn_{j}"] = t
+        out[f"down_{i}"] = blk
+    t = {}
+    for kblk in range(cfg.transformer_layers_per_block[-1]):
+        t[f"block_{kblk}"] = _cross_kv_one(
+            params["mid"]["attn"][f"block_{kblk}"]["attn2"],
+            ctx, cfg.num_attention_heads[-1], ip_tokens)
+    out["mid"] = t
+    rev_types = list(reversed(cfg.down_block_types))
+    rev_heads = list(reversed(cfg.num_attention_heads))
+    rev_depth = list(reversed(cfg.transformer_layers_per_block))
+    for i, btype in enumerate(rev_types):
+        if btype != "CrossAttnDownBlock2D":
+            continue
+        blk = {}
+        for j in range(cfg.layers_per_block + 1):
+            t = {}
+            for kblk in range(rev_depth[i]):
+                t[f"block_{kblk}"] = _cross_kv_one(
+                    params[f"up_{i}"][f"attn_{j}"][f"block_{kblk}"]["attn2"],
+                    ctx, rev_heads[i], ip_tokens)
+            blk[f"attn_{j}"] = t
+        out[f"up_{i}"] = blk
+    return out
 
 
 def fuse_qkv(params):
@@ -403,10 +490,16 @@ def apply(
     ip_tokens: Optional[jax.Array] = None,  # (B, n_ip, cross_attention_dim)
     ip_scale: float = 1.0,
     capture_ip_attn: bool = False,
+    cross_kv: Optional[dict] = None,  # precompute_cross_kv output
 ) -> jax.Array:
     """When `capture_ip_attn` is set, returns `(eps, taps)` where taps
     maps layer paths → IP attention probs (B, heads, S_pixels, n_ip) —
-    the reference's interpretability tap (ip_adapter/utils.py:7-59)."""
+    the reference's interpretability tap (ip_adapter/utils.py:7-59).
+
+    `cross_kv` (from `precompute_cross_kv`) replaces the per-layer
+    text/IP context projections with precomputed K/V — pass it when the
+    same context drives many steps (denoise/inversion scans). When it
+    carries k_ip/v_ip, `ip_tokens` is unused."""
     taps: Optional[dict] = {} if capture_ip_attn else None
     g = cfg.norm_num_groups
     b = sample.shape[0]
@@ -454,6 +547,7 @@ def apply(
                     ip_scale,
                     taps,
                     f"down_{i}.attn_{j}",
+                    kv_tree=cross_kv[f"down_{i}"][f"attn_{j}"] if cross_kv else None,
                 )
             skips.append(h)
         if "down" in blk:
@@ -477,6 +571,7 @@ def apply(
             ip_scale,
             taps,
             "mid.attn",
+            kv_tree=cross_kv["mid"] if cross_kv else None,
         )
     h = _resnet(mid["res_1"], h, temb, g)
 
@@ -502,6 +597,7 @@ def apply(
                     ip_scale,
                     taps,
                     f"up_{i}.attn_{j}",
+                    kv_tree=cross_kv[f"up_{i}"][f"attn_{j}"] if cross_kv else None,
                 )
         if "up" in blk:
             bb, hh, ww, c = h.shape

@@ -264,6 +264,35 @@ def cross_attn_paths(cfg: unet_lib.UNetConfig) -> List[str]:
     return paths
 
 
+def all_attn_paths(cfg: unet_lib.UNetConfig) -> List[str]:
+    """EVERY attention's param path (attn1 and attn2 interleaved per
+    transformer block) in diffusers attn_processors order — the index
+    space of FaceID checkpoints, whose LoRA ModuleList covers self- and
+    cross-attention alike (reference ip_adapter_faceid.py:146-166,
+    load at :181-183)."""
+    paths = []
+
+    def block(prefix, depth):
+        for k in range(depth):
+            paths.append(f"{prefix}.block_{k}.attn1")
+            paths.append(f"{prefix}.block_{k}.attn2")
+
+    for i, btype in enumerate(cfg.down_block_types):
+        if btype != "CrossAttnDownBlock2D":
+            continue
+        for j in range(cfg.layers_per_block):
+            block(f"down_{i}.attn_{j}", cfg.transformer_layers_per_block[i])
+    rev_types = list(reversed(cfg.down_block_types))
+    rev_depth = list(reversed(cfg.transformer_layers_per_block))
+    for i, btype in enumerate(rev_types):
+        if btype != "CrossAttnDownBlock2D":
+            continue
+        for j in range(cfg.layers_per_block + 1):
+            block(f"up_{i}.attn_{j}", rev_depth[i])
+    block("mid.attn", cfg.transformer_layers_per_block[-1])
+    return paths
+
+
 def merge_ip_weights(unet_params: dict, ip_attn: Dict[str, dict]) -> dict:
     """Install to_k_ip/to_v_ip leaves into the UNet tree at each
     cross-attn path."""

@@ -236,3 +236,38 @@ def test_fuse_qkv_preserves_outputs(rng):
     a = unet_lib.apply(params, lat, jnp.zeros((2,), jnp.int32), ctx, cfg, **kw)
     b = unet_lib.apply(fused, lat, jnp.zeros((2,), jnp.int32), ctx, cfg, **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
+def test_precomputed_cross_kv_is_exact(rng):
+    """precompute_cross_kv hoists the constant-context projections out
+    of the scan; outputs must be bit-identical (same matmuls, same
+    operands). Also exercised through the fused-qkv tree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instructany2pix_tpu.models import unet as unet_lib
+
+    cfg = unet_lib.UNetConfig.tiny(with_ip=True)
+    params = unet_lib.init(rng, cfg)
+    lat = jax.random.normal(jax.random.key(1), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(2), (2, 7, cfg.cross_attention_dim))
+    pooled = jax.random.normal(jax.random.key(3), (2, cfg.pooled_dim))
+    tid = jnp.ones((2, 6))
+    ip = jax.random.normal(jax.random.key(4), (2, 4, cfg.cross_attention_dim))
+    kw = dict(pooled_text=pooled, time_ids=tid, ip_scale=0.7)
+    t = jnp.zeros((2,), jnp.int32)
+    a = unet_lib.apply(params, lat, t, ctx, cfg, ip_tokens=ip, **kw)
+    ckv = unet_lib.precompute_cross_kv(params, cfg, ctx, ip)
+    b = unet_lib.apply(params, lat, t, ctx, cfg, ip_tokens=ip, cross_kv=ckv, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # without IP tokens: kv tree has no ip entries, ip branch fully off
+    a2 = unet_lib.apply(params, lat, t, ctx, cfg, **kw)
+    ckv2 = unet_lib.precompute_cross_kv(params, cfg, ctx, None)
+    b2 = unet_lib.apply(params, lat, t, ctx, cfg, cross_kv=ckv2, **kw)
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+    # fused tree carries to_kv; precompute must handle it identically
+    fused = unet_lib.fuse_qkv(params)
+    ckv3 = unet_lib.precompute_cross_kv(fused, cfg, ctx, ip)
+    c = unet_lib.apply(fused, lat, t, ctx, cfg, ip_tokens=ip, cross_kv=ckv3, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-5, rtol=1e-4)
