@@ -283,7 +283,8 @@ def _transformer(
 
 def _cross_kv_one(p, ctx, heads, ip_tokens):
     b = ctx.shape[0]
-    d = p["to_q"]["w"].shape[1]
+    tq = p["to_q"]
+    d = next(tq[k].shape[1] for k in ("w", "w_q", "w_q4") if k in tq)
     hd = d // heads
     if "to_kv" in p:
         kv = L.linear(p["to_kv"], ctx)
