@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import unet as unet_lib
+from ..core.prng import row_normal
 from .sampler import make_cfg_eps_fn, scan_denoise
 from .schedulers import Schedule
 
@@ -51,7 +52,8 @@ def img2img(
     ts, n = img2img_timesteps(schedule, num_inference_steps, strength)
     if n == 0:
         return src_latents
-    noise = jax.random.normal(key, src_latents.shape, jnp.float32)
+    # key may be (B,) keys: per-row-deterministic noise for batched serving
+    noise = row_normal(key, src_latents.shape)
     lat = schedule.add_noise(
         src_latents.astype(jnp.float32), noise, jnp.full((src_latents.shape[0],), ts[0])
     ).astype(src_latents.dtype)
@@ -88,7 +90,7 @@ def inpaint(
     ts, n = img2img_timesteps(schedule, num_inference_steps, strength)
     if n == 0:
         return src_latents
-    noise = jax.random.normal(key, src_latents.shape, jnp.float32)
+    noise = row_normal(key, src_latents.shape)
     lat = schedule.add_noise(
         src_latents.astype(jnp.float32), noise, jnp.full((b,), ts[0])
     ).astype(src_latents.dtype)

@@ -99,8 +99,11 @@ def preprocess_clip_image(image, image_size: int = 224) -> jax.Array:
     out = []
     for img in image:
         arr = np.asarray(img)
+        # dtype, not value range, decides rescaling — a near-black uint8
+        # image (max ≤ 1) must still be divided by 255
+        is_int = np.issubdtype(arr.dtype, np.integer)
         arr = image_io.resize_center_crop(arr, image_size).astype(np.float32)
-        if arr.max() > 1.5:  # uint8-range input
+        if is_int:
             arr = arr / 255.0
         arr = (arr - np.asarray(CLIP_IMAGE_MEAN)) / np.asarray(CLIP_IMAGE_STD)
         out.append(arr)

@@ -101,10 +101,24 @@ def generate(
     h_last = out["hidden_norm"][:, -1]  # predicts the first sampled token
     logits_last = out["logits"][:, -1]
 
+    # `key` may be one key (whole batch) or (B,) keys — then row i's
+    # sampling stream depends only on key[i], so a microbatched server
+    # keeps per-request seed determinism (serving.PipelineServer)
+    per_row_keys = getattr(key, "ndim", 0) == 1
+
+    def split2(k):
+        if per_row_keys:
+            pair = jax.vmap(lambda kk: jax.random.split(kk, 2))(k)
+            return pair[:, 0], pair[:, 1]
+        return jax.random.split(k)
+
     def sample(logits, k):
         if temperature == 0.0:
             return jnp.argmax(logits, axis=-1)
-        return jax.random.categorical(k, logits.astype(jnp.float32) / temperature)
+        lg = logits.astype(jnp.float32) / temperature
+        if per_row_keys:
+            return jax.vmap(jax.random.categorical)(k, lg)
+        return jax.random.categorical(k, lg)
 
     # rolling window of the last K emitted ids for keyword matching
     k_win = max([len(sq) for sq in stop_sequences], default=0)
@@ -122,7 +136,7 @@ def generate(
             m = m | jnp.all(recent[:, k_win - len(sq):] == seq, axis=1)
         return m
 
-    key, k0 = jax.random.split(key)
+    key, k0 = split2(key)
     tok0 = sample(logits_last, k0)
     recent0 = jnp.full((b, max(k_win, 1)), -1, tok0.dtype)
     recent0 = push(recent0, tok0) if k_win else recent0
@@ -130,7 +144,7 @@ def generate(
 
     def step(carry, _):
         cache, tok, recent, done, key = carry
-        key, k = jax.random.split(key)
+        key, k = split2(key)
         emb = llama.embed(params, tok[:, None])
         out = llama.forward(
             params, cfg, inputs_embeds=emb, cache=cache,

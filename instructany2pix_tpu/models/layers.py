@@ -61,6 +61,11 @@ def linear(p, x, compute_dtype=None):
             from ..ops.quant import int4_matmul
 
             y = int4_matmul(x, p)
+        if "lora_a" in p:
+            # adapters survive quantization of the base weight
+            # (quantize_tree keeps non-"w" leaves): apply them here too
+            scale = p.get("lora_scale", jnp.ones((), y.dtype))
+            y = y + ((x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)) * scale
         if "b" in p:
             y = y + p["b"].astype(y.dtype)
         return y

@@ -134,23 +134,33 @@ def fuse_projections(params):
     shard the UNFUSED names (a fused qkv shard would cross the q/k/v
     boundaries)."""
 
+    def fusable(parts):
+        # refuse silent semantics changes: LoRA factors can't concat
+        # (they'd need block-diagonal lora_b), biases would be dropped,
+        # and mixed quant formats (e.g. int4 q + int8 k) can't share one
+        # kernel — leave such layers unfused rather than corrupt them
+        fmt = [next((k for k in ("w", "w_q", "w_q4") if k in p), None) for p in parts]
+        if None in fmt or len(set(fmt)) != 1:
+            return False
+        return not any("lora_a" in p or "b" in p for p in parts)
+
     def cat(parts):
-        for key in ("w", "w_q", "w_q4"):
-            if key in parts[0]:
-                out = {key: jnp.concatenate([p[key] for p in parts], axis=1)}
-                if "scale" in parts[0]:
-                    out["scale"] = jnp.concatenate([p["scale"] for p in parts])
-                if "gscale" in parts[0]:
-                    out["gscale"] = jnp.concatenate([p["gscale"] for p in parts], axis=1)
-                return out
-        raise ValueError("unfusable projection params")
+        key = next(k for k in ("w", "w_q", "w_q4") if k in parts[0])
+        out = {key: jnp.concatenate([p[key] for p in parts], axis=1)}
+        if "scale" in parts[0]:
+            out["scale"] = jnp.concatenate([p["scale"] for p in parts])
+        if "gscale" in parts[0]:
+            out["gscale"] = jnp.concatenate([p["gscale"] for p in parts], axis=1)
+        return out
 
     out = {}
     for name, node in params.items():
         if name.startswith("layer_") and "q" in node and "gate" in node:
             node = dict(node)
-            node["qkv"] = cat([node.pop("q"), node.pop("k"), node.pop("v")])
-            node["gate_up"] = cat([node.pop("gate"), node.pop("up")])
+            if fusable([node["q"], node["k"], node["v"]]):
+                node["qkv"] = cat([node.pop("q"), node.pop("k"), node.pop("v")])
+            if fusable([node["gate"], node["up"]]):
+                node["gate_up"] = cat([node.pop("gate"), node.pop("up")])
         out[name] = node
     return out
 

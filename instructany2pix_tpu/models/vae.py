@@ -159,12 +159,13 @@ def encode_moments(params, x, cfg: VAEConfig = VAEConfig()):
 
 def encode(params, x, key=None, cfg: VAEConfig = VAEConfig(), sample=True):
     """→ scaled latents (B, H/8, W/8, C). Deterministic mode uses the mean
-    (the reference samples; DDIM inversion uses .latent_dist.sample())."""
+    (the reference samples; DDIM inversion uses .latent_dist.sample()).
+    `key` may be (B,) keys for per-row-deterministic batched serving."""
+    from ..core.prng import row_normal
+
     mean, logvar = encode_moments(params, x, cfg)
     if sample and key is not None:
-        z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
-            key, mean.shape, mean.dtype
-        )
+        z = mean + jnp.exp(0.5 * logvar) * row_normal(key, mean.shape, mean.dtype)
     else:
         z = mean
     return z * cfg.scaling_factor

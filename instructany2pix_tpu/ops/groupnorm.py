@@ -52,11 +52,15 @@ def _group_norm_xla(x, gamma, beta, num_groups, eps, silu):
     hw = xf.shape[1]
     n = hw * cg
     s1 = jnp.sum(xf, axis=1) @ m  # (B, G)
-    s2 = jnp.sum(xf * xf, axis=1) @ m
     mean_g = s1 / n
-    var_g = jnp.maximum(s2 / n - mean_g * mean_g, 0.0)
+    # two-pass variance: E[(x-μ)²] rather than E[x²]-μ² — immune to
+    # catastrophic cancellation for large-mean f32 inputs; the centered
+    # square fuses into the (B·HW, C)@(C, G) stats matmul's operand
+    mean_c0 = mean_g @ m.T  # (B, C)
+    xc = xf - mean_c0[:, None]
+    var_g = (jnp.sum(xc * xc, axis=1) @ m) / n
     inv_g = jax.lax.rsqrt(var_g + eps)
-    mean_c = mean_g @ m.T  # (B, C) broadcast back, still lane-aligned
+    mean_c = mean_c0  # (B, C) broadcast back, still lane-aligned
     inv_c = inv_g @ m.T
     scale = inv_c * gamma.astype(jnp.float32)[None]
     shift = beta.astype(jnp.float32)[None] - mean_c * scale

@@ -48,6 +48,7 @@ class EditRequest:
     ip_tokens_uncond: Optional[np.ndarray] = None
     guidance_scale: float = 10.0
     num_inference_steps: int = 25
+    ip_scale: float = 1.0
 
 
 class BatchScheduler:
@@ -80,7 +81,11 @@ class BatchScheduler:
         return fut
 
     def _bucket(self, req: EditRequest):
-        return (req.num_inference_steps, req.latents.shape, req.guidance_scale)
+        return (
+            req.num_inference_steps, req.latents.shape, req.guidance_scale,
+            req.ip_scale, req.ip_tokens is not None,
+            req.ip_tokens_uncond is not None,
+        )
 
     def _loop(self):
         while not self._stop.is_set():
@@ -135,8 +140,8 @@ class BatchedDenoiser:
             self.params = unet_params
         self._jitted: Dict[Any, Callable] = {}
 
-    def _get_fn(self, steps: int, guidance: float):
-        key = (steps, guidance)
+    def _get_fn(self, steps: int, guidance: float, ip_scale: float = 1.0):
+        key = (steps, guidance, ip_scale)
         if key not in self._jitted:
             sched = self.schedule
             cfg = self.cfg
@@ -145,7 +150,7 @@ class BatchedDenoiser:
                 return sampler_lib.denoise(
                     params, cfg, sched, lat, ctx, ctx_u, pooled, pooled_u, tid,
                     num_inference_steps=steps, guidance_scale=guidance,
-                    ip_tokens=ip, ip_tokens_uncond=ip_u,
+                    ip_tokens=ip, ip_tokens_uncond=ip_u, ip_scale=ip_scale,
                 )
 
             self._jitted[key] = jax.jit(fn)
@@ -178,7 +183,8 @@ class BatchedDenoiser:
             self.mesh, jax.sharding.PartitionSpec(DATA_AXIS)
         )
         lat = jax.device_put(lat, batch_sharding)
-        fn = self._get_fn(reqs[0].num_inference_steps, reqs[0].guidance_scale)
+        fn = self._get_fn(reqs[0].num_inference_steps, reqs[0].guidance_scale,
+                          reqs[0].ip_scale)
         with jax.set_mesh(self.mesh):
             out = fn(self.params, lat, ctx, ctx_u, pooled, pooled_u, tid, ip, ip_u)
         out = np.asarray(out)
@@ -263,10 +269,14 @@ class PipelineServer:
     serializes requests through a gradio queue, serve.py:115).
 
     Batch compatibility (scheduler bucket): num_inference_steps, cfg,
-    refinement. Prompts of different lengths batch together via per-row
-    left-padding (generate(prefix_pads=...)); caption-only LLM outcomes
-    return without joining the diffusion stages. Subject consistency is
-    a per-request interactive feature and stays on the pipeline path.
+    refinement, ip scale. Prompts of different lengths batch together
+    via per-row left-padding (generate(prefix_pads=...)); caption-only
+    LLM outcomes return without joining the diffusion stages; the
+    refiner runs as one batched img2img when refinement > 0. Random
+    streams are per-request ((B,) PRNG keys through generate/VAE/noise),
+    so a request's result depends only on its own seed, not on batch
+    composition. Subject consistency is a per-request interactive
+    feature and stays on the pipeline path.
     """
 
     def __init__(
@@ -296,7 +306,7 @@ class PipelineServer:
         )
         self.scheduler = BatchScheduler(self._run_batch, max_batch, max_wait_s)
         self.scheduler._bucket = lambda req: (
-            req.num_inference_steps, req.cfg, req.refinement
+            req.num_inference_steps, req.cfg, req.refinement, req.scale
         )
         self.scheduler.start()
 
@@ -331,9 +341,12 @@ class PipelineServer:
         )
         prefix_pads = jnp.asarray([tgt - n for n in lens], jnp.int32)
         eos_id = getattr(pipe.tokenizer, "eos_token_id", 2)
+        # (B,) per-request keys: row i's sampling depends only on
+        # reqs[i].seed, independent of batch composition
+        row_keys = jnp.stack([_jax.random.key(r.seed) for r in reqs])
         result = gen_lib.generate(
             pipe.params["llm"]["llama"], pipe.cfg.llm.llama, emb,
-            _jax.random.key(reqs[0].seed),
+            row_keys,
             max_new_tokens=self.max_new_tokens, temperature=0.3,
             eos_id=eos_id, prefix_pads=prefix_pads,
         )
@@ -399,9 +412,8 @@ class PipelineServer:
         import jax as _jax
 
         steps = reqs[live[0]].num_inference_steps
-        src_lat = vae_lib.encode(
-            pipe.params["vae"], x, key=_jax.random.key(reqs[live[0]].seed), cfg=c.vae
-        )
+        vae_keys = jnp.stack([_jax.random.key(reqs[i].seed) for i in live])
+        src_lat = vae_lib.encode(pipe.params["vae"], x, key=vae_keys, cfg=c.vae)
         ctx_null, pooled_null = pipe._encode_sdxl_prompt("")
         b = len(live)
         tid = S.default_time_ids(c.image_size, c.image_size, b)
@@ -410,7 +422,9 @@ class PipelineServer:
             jnp.tile(ctx_null, (b, 1, 1)), jnp.tile(pooled_null, (b, 1)), tid,
             num_inference_steps=steps,
         )
-        noise = _jax.random.normal(_jax.random.key(reqs[live[0]].seed + 1), latent_inv.shape)
+        from .core.prng import row_normal
+        noise_keys = jnp.stack([_jax.random.key(reqs[i].seed + 1) for i in live])
+        noise = row_normal(noise_keys, latent_inv.shape)
         latent_inv = jnp.stack(
             [
                 S.polar_interpolate(latent_inv[j], noise[j], reqs[i].alpha)
@@ -418,38 +432,91 @@ class PipelineServer:
             ]
         )
 
-        # ---- denoise stage: batched CFG scan through BatchedDenoiser
-        edits = []
-        for j, i in enumerate(live):
-            caption = llm_outs[i][2]
-            ctx_p, pooled_p = pipe._encode_sdxl_prompt(
-                "best quality, high quality" + caption
-            )
-            from .diffusion import ip_adapter as ipa_lib
+        # ---- denoise stage: ONE batched prompt encode + IP projection,
+        # then the batched CFG scan through BatchedDenoiser
+        from .diffusion import ip_adapter as ipa_lib
+        from .models import clip as clip_lib
 
-            ip_cond, ip_uncond = ipa_lib.get_image_embeds(
-                pipe.params["image_proj"], c.image_proj,
-                clip_image_embeds=lat_las[j], mode="global",
+        prompts = ["best quality, high quality" + llm_outs[i][2] for i in live]
+        ids1 = np.concatenate([
+            pipe._clip_ids(pipe.clip_tok1, pr, c.text1.max_positions,
+                           c.text1.eos_token_id) for pr in prompts
+        ])
+        ids2 = np.concatenate([
+            pipe._clip_ids(pipe.clip_tok2, pr, c.text2.max_positions,
+                           c.text2.eos_token_id) for pr in prompts
+        ])
+        ctx_p, pooled_p = S.encode_prompt_sdxl(
+            pipe.params["text1"], c.text1, pipe.params["text2"], c.text2,
+            jnp.asarray(ids1), jnp.asarray(ids2),
+        )
+        ip_cond, ip_uncond = ipa_lib.get_image_embeds(
+            pipe.params["image_proj"], c.image_proj,
+            clip_image_embeds=jnp.concatenate(lat_las), mode="global",
+        )
+        edits = [
+            EditRequest(
+                latents=np.asarray(latent_inv[j]),
+                ctx=np.asarray(ctx_p[j]),
+                ctx_uncond=np.asarray(ctx_null[0]),
+                pooled=np.asarray(pooled_p[j]),
+                pooled_uncond=np.asarray(pooled_null[0]),
+                ip_tokens=np.asarray(ip_cond[j]),
+                ip_tokens_uncond=np.asarray(ip_uncond[j]),
+                guidance_scale=reqs[i].cfg,
+                num_inference_steps=steps,
+                ip_scale=reqs[i].scale,
             )
-            edits.append(
-                EditRequest(
-                    latents=np.asarray(latent_inv[j]),
-                    ctx=np.asarray(ctx_p[0]),
-                    ctx_uncond=np.asarray(ctx_null[0]),
-                    pooled=np.asarray(pooled_p[0]),
-                    pooled_uncond=np.asarray(pooled_null[0]),
-                    ip_tokens=np.asarray(ip_cond[0]),
-                    ip_tokens_uncond=np.asarray(ip_uncond[0]),
-                    guidance_scale=reqs[i].cfg,
-                    num_inference_steps=steps,
-                )
-            )
+            for j, i in enumerate(live)
+        ]
         lats = self.denoiser.run_batch(edits)
 
         # ---- decode stage: one batched VAE decode
         dec = vae_lib.decode(
             pipe.params["vae"], jnp.asarray(np.stack(lats)), c.vae
         )
+
+        # ---- refiner stage (batch shares `refinement` via the bucket):
+        # one batched img2img through the refiner UNet, per-row keys
+        # (mirrors pipeline.run's block, reference pipeline.py:358-359)
+        refinement = reqs[live[0]].refinement
+        if refinement > 0:
+            from .diffusion import img2img as i2i
+
+            rprompts = [
+                llm_outs[i][2] + ",high quality,well-formed,award-winning"
+                for i in live
+            ]
+            rids2 = np.concatenate([
+                pipe._clip_ids(pipe.clip_tok2, pr, c.text2.max_positions,
+                               c.text2.eos_token_id) for pr in rprompts
+            ])
+            o2 = clip_lib.text_apply(pipe.params["text2"], jnp.asarray(rids2), c.text2)
+            rctx = o2["hidden_states"][-2]
+            rpooled = o2.get("text_embeds", o2["pooled"])
+            rids2n = pipe._clip_ids(
+                pipe.clip_tok2, "", c.text2.max_positions, c.text2.eos_token_id
+            )
+            o2n = clip_lib.text_apply(pipe.params["text2"], jnp.asarray(rids2n), c.text2)
+            rctx_u = jnp.tile(o2n["hidden_states"][-2], (b, 1, 1))
+            rpooled_u = jnp.tile(o2n.get("text_embeds", o2n["pooled"]), (b, 1))
+            rtid = jnp.tile(
+                jnp.asarray([[c.image_size, c.image_size, 0, 0, 6.0]], jnp.float32),
+                (b, 1),
+            )
+            enc_keys = jnp.stack([_jax.random.key(reqs[i].seed + 2) for i in live])
+            noise_keys2 = jnp.stack([_jax.random.key(reqs[i].seed + 3) for i in live])
+            rlat = vae_lib.encode(pipe.params["vae"], dec, key=enc_keys, cfg=c.vae)
+            rlat = i2i.img2img(
+                pipe.params["refiner"], c.refiner, pipe.schedule, rlat,
+                noise_keys2, rctx, rctx_u, rpooled, rpooled_u, rtid,
+                num_inference_steps=steps, strength=refinement,
+                # reference calls the refiner with diffusers img2img
+                # defaults -> guidance 5.0 (pipeline.py:358-359)
+                guidance_scale=5.0,
+            )
+            dec = vae_lib.decode(pipe.params["vae"], rlat, c.vae)
+
         for j, i in enumerate(live):
             results[i] = PipelineResult(
                 image_io.from_model_range(np.asarray(dec[j])), llm_outs[i][2]

@@ -216,9 +216,12 @@ def collate(
     token_ids: Dict[str, int],
     cfg: DataConfig,
     codec_dim: int,
-    audio_codec_dim: int = 768,
 ) -> Dict[str, np.ndarray]:
-    """→ dense arrays for llm.multimodal.train_forward."""
+    """→ dense arrays for llm.multimodal.train_forward. The audio
+    codec dim comes from `cfg.audio_codec_dim` — the same source
+    `rewrite_example` builds `extra_audio` with, so the two can never
+    diverge."""
+    audio_codec_dim = cfg.audio_codec_dim
     b = len(examples)
     seqs, labs = [], []
     for ex in examples:

@@ -59,7 +59,8 @@ def main():
         with open(args.media_map) as f:
             media_map = json.load(f)
     media = data_lib.MediaMap(media_map, args.media_root, dim=cfg.image_codec_dim)
-    dcfg = data_lib.DataConfig(max_length=args.max_length)
+    dcfg = data_lib.DataConfig(max_length=args.max_length,
+                               audio_codec_dim=cfg.audio_codec_dim)
     ds = data_lib.InstructionDataset(args.data, media, tokenizer, token_ids, dcfg)
     print(f"dataset: {len(ds)} examples; devices: {jax.devices()}")
 
@@ -88,7 +89,7 @@ def main():
         pos += args.batch_size
         batch_np = data_lib.collate(
             [ds[int(i)] for i in idx], tokenizer, token_ids, dcfg,
-            codec_dim=cfg.image_codec_dim, audio_codec_dim=cfg.audio_codec_dim,
+            codec_dim=cfg.image_codec_dim,
         )
         batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
         state, metrics = train_step(state, batch)

@@ -165,3 +165,33 @@ def test_quantized_param_size_halves():
     lin_before = nbytes(params["layer_0"]["q"])
     lin_after = nbytes({k: v for k, v in q["layer_0"]["q"].items() if k == "w_q"})
     assert lin_after <= lin_before * 0.55
+
+
+def test_quantized_linear_applies_lora():
+    """LoRA factors survive quantization (the early-return path must not
+    drop them — r2 review fix)."""
+    rs = np.random.RandomState(5)
+    p = {"w": jnp.asarray(rs.randn(32, 16), jnp.float32)}
+    p = L.add_lora(p, jax.random.key(0), rank=4, alpha=4.0)
+    p["lora_b"] = jnp.asarray(rs.randn(4, 16) * 0.1, jnp.float32)
+    x = jnp.asarray(rs.randn(2, 32), jnp.float32)
+    ref_delta = np.asarray(
+        (x @ p["lora_a"]) @ p["lora_b"] * p["lora_scale"]
+    )
+    q = {**Q.quantize_weight(p["w"]),
+         "lora_a": p["lora_a"], "lora_b": p["lora_b"], "lora_scale": p["lora_scale"]}
+    base = np.asarray(x @ Q.dequantize_weight(q))
+    got = np.asarray(L.linear(q, x))
+    np.testing.assert_allclose(got, base + ref_delta, atol=1e-4, rtol=1e-4)
+
+
+def test_fuse_projections_skips_lora_and_mixed_layers():
+    """Layers carrying LoRA (or mixed quant formats) stay unfused rather
+    than silently dropping the adapters."""
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init(jax.random.key(0), cfg)
+    params["layer_0"]["q"] = L.add_lora(params["layer_0"]["q"], jax.random.key(1))
+    fused = llama.fuse_projections(params)
+    assert "qkv" not in fused["layer_0"]  # LoRA on q blocks qkv fusion
+    assert "gate_up" in fused["layer_0"]  # untouched projections still fuse
+    assert "qkv" in fused["layer_1"]

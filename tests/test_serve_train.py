@@ -73,15 +73,15 @@ class TestTrainData:
         tok = ByteTokenizer()
         token_ids = initialize_vision_tokenizer(tok)
         dp, media = _toy_dataset(tmp_path)
-        cfg = data_lib.DataConfig(max_length=512, video_prob=1.0, base_drop_prob=0.0)
+        cfg = data_lib.DataConfig(max_length=512, video_prob=1.0,
+                                  base_drop_prob=0.0, audio_codec_dim=8)
         ds = data_lib.InstructionDataset(dp, media, tok, token_ids, cfg, seed=0)
         assert len(ds) == 2
         ex = ds[0]
         # 2 INPUT (human brackets) + 1 BASE + 1 GEN (addition)
         types = [t for _, t in ex["replacements"]]
         assert types.count(0) == 2 and types.count(1) == 1 and types.count(2) == 1
-        batch = data_lib.collate([ds[0], ds[1]], tok, token_ids, cfg, codec_dim=16,
-                                 audio_codec_dim=8)
+        batch = data_lib.collate([ds[0], ds[1]], tok, token_ids, cfg, codec_dim=16)
         b, s = batch["input_ids"].shape
         assert b == 2
         assert batch["gen_mask_image"][0].sum() == 1  # one <im_gen>
@@ -116,8 +116,7 @@ class TestTrainData:
         ex = data_lib.rewrite_example(rec, media, cfg, np.random.RandomState(0))
         assert ex["extra_audio"].shape == (8, 8)
         assert ex["conversations"][0]["value"].count("<audio>") == 8
-        batch_np = data_lib.collate([ex], tok, token_ids, cfg, codec_dim=16,
-                                    audio_codec_dim=8)
+        batch_np = data_lib.collate([ex], tok, token_ids, cfg, codec_dim=16)
         assert batch_np["extra_audio_frames"].shape == (1, 8, 8)
         aud_id = token_ids["<audio>"]
         assert (batch_np["input_ids"] == aud_id).sum() == 8
@@ -143,12 +142,13 @@ class TestTrainStep:
         dp, media = _toy_dataset(tmp_path)
         # byte-level fallback tokenizer ≈1 token/char: the vicuna system
         # prompt alone is ~170 tokens, so keep headroom for the response
-        dcfg = data_lib.DataConfig(max_length=512, video_prob=1.0, base_drop_prob=0.0)
-        ds = data_lib.InstructionDataset(dp, media, tok, token_ids, dcfg, seed=0)
         cfg = mm.Any2PixLMConfig.tiny(token_ids)
+        dcfg = data_lib.DataConfig(max_length=512, video_prob=1.0, base_drop_prob=0.0,
+                                   audio_codec_dim=cfg.audio_codec_dim)
+        ds = data_lib.InstructionDataset(dp, media, tok, token_ids, dcfg, seed=0)
         batch_np = data_lib.collate(
             [ds[0], ds[1]], tok, token_ids, dcfg,
-            codec_dim=cfg.image_codec_dim, audio_codec_dim=cfg.audio_codec_dim,
+            codec_dim=cfg.image_codec_dim,
         )
         batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
         params = mm.init(jax.random.key(0), cfg)
