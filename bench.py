@@ -151,6 +151,36 @@ def main():
     # ---------------------------------------------------------- LLM stage
     stage_s["llm"] = bench_llm(t_sync, quant)
 
+    # ------------------------------------------- input featurization stage
+    # ImageBind encodes of the request's media (reference pipeline.py:
+    # 159-164 runs ImageBind-huge per mm_data item — on CPU there; here
+    # the full ViT-H vision trunk + ViT-B audio trunk on-chip, 1 image +
+    # 1 three-clip audio like the north-star audio+image+text edit)
+    from instructany2pix_tpu.models import imagebind as ib
+
+    vcfg_ib = ib.ViTConfig.imagebind_vision()
+    acfg_ib = ib.ViTConfig.imagebind_audio()
+    vision_p = init_bf16(lambda k: ib.init(k, vcfg_ib), jax.random.key(20))
+    n_audio_patches = ((128 - 16) // 10 + 1) * ((204 - 16) // 10 + 1)
+    audio_p = init_bf16(
+        lambda k: ib.init(k, acfg_ib, num_patches=n_audio_patches),
+        jax.random.key(21),
+    )
+    img_in = jnp.zeros((1, 224, 224, 3), jnp.bfloat16)
+    aud_in = jnp.zeros((3, 128, 204, 1), jnp.bfloat16)
+
+    @jax.jit
+    def featurize(vision_p, audio_p, img_in, aud_in):
+        v = ib.apply(vision_p, img_in, vcfg_ib)
+        a = jnp.mean(ib.apply(audio_p, aud_in, acfg_ib), axis=0, keepdims=True)
+        return v, a
+
+    stage_s["imagebind"] = time_once(
+        featurize, vision_p, audio_p, img_in, aud_in,
+        label="imagebind vision(1x224^2) + audio(3 clips)", t_sync=t_sync,
+    )
+    free(vision_p); free(audio_p)
+
     # ------------------------------------------------- diffusion stack init
     from instructany2pix_tpu.diffusion import img2img as i2i
     from instructany2pix_tpu.diffusion import ip_adapter as ipa

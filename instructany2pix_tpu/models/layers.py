@@ -34,9 +34,14 @@ def _use_pallas_qmv(p, x) -> bool:
     # in-VMEM dequant beats the XLA fused-convert path (int8 85 vs
     # 121 µs, int4 60-66 µs on 7B shapes — BASELINE.md r2); prefill
     # (large M) is compute-bound and stays on the XLA/MXU path, as do
-    # lane-unaligned output dims (e.g. a 32009-wide vocab head)
+    # lane-unaligned output dims (e.g. a 32009-wide vocab head).
+    # IA2P_QMV=off forces the XLA path — needed when quantized decode
+    # weights are GSPMD-sharded (pallas_call can't partition them).
     import math
+    import os
 
+    if os.environ.get("IA2P_QMV") == "off":
+        return False
     m = math.prod(x.shape[:-1]) if x.ndim > 1 else 1
     n = (p["w_q"] if "w_q" in p else p["w_q4"]).shape[1]
     return m <= 16 and n % 128 == 0 and jax.default_backend() == "tpu"
