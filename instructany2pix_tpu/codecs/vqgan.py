@@ -182,8 +182,7 @@ def decode_z(params, zq, cfg: VQConfig):
         for j in range(cfg.num_res_blocks + 1):
             h = _res(blk[f"res_{j}"], h, g)
         if "up" in blk:
-            b, hh, ww, c = h.shape
-            h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
+            h = L.upsample2x_nearest(h)
             h = L.conv2d(blk["up"], h)
     h = L.group_norm(p["norm_out"], h, g, silu=True)
     return L.conv2d(p["conv_out"], h)

@@ -144,21 +144,28 @@ def deformable_attention(
     heads: int,
     points: int,
 ):
+    """Same math as `_bilinear_gather` per level (zero-padding border
+    semantics, torch-grid_sample-parity-tested), restructured into ONE
+    `take_along_axis` across all levels × 4 bilinear corners × points:
+    flattened global row indices into the level-concatenated value
+    tensor, with the bilinear corner weight, the border mask, and the
+    attention weight folded into a single per-sample weight. TPU gathers
+    are row-granular — batching them and dropping the per-corner
+    head-transposes cut the full-size GDINO forward 409→? ms
+    (BASELINE.md r2)."""
     b, nq, d = query.shape
     levels = len(shapes)
     hd = d // heads
-    v = L.linear(p["value_proj"], value)
+    v = L.linear(p["value_proj"], value).reshape(b, -1, heads, hd)
     offsets = L.linear(p["sampling_offsets"], query).reshape(
         b, nq, heads, levels, points, 2
     )
     weights = L.linear(p["attn_weights"], query).reshape(b, nq, heads, levels * points)
     weights = jax.nn.softmax(weights, axis=-1).reshape(b, nq, heads, levels, points)
 
-    out = jnp.zeros((b, nq, heads, hd), v.dtype)
+    idx_parts, w_parts = [], []
     start = 0
     for li, (h, w) in enumerate(shapes):
-        vl = v[:, start : start + h * w].reshape(b, h, w, heads, hd)
-        start += h * w
         wh = jnp.asarray([w, h], jnp.float32)
         if ref_points.shape[-1] == 4:
             center = ref_points[..., :2]
@@ -169,8 +176,37 @@ def deformable_attention(
             )
         else:
             locs = ref_points[:, :, None, None, :] + offsets[:, :, :, li] / wh
-        sampled = _bilinear_gather(vl, locs)  # (B, Nq, heads, P, hd)
-        out = out + jnp.sum(sampled * weights[:, :, :, li][..., None], axis=3)
+        x = locs[..., 0] * w - 0.5
+        y = locs[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        dx = x - x0
+        dy = y - y0
+        aw = weights[:, :, :, li]  # (B, Nq, heads, P)
+        for xi, yi, cw in (
+            (x0, y0, (1 - dx) * (1 - dy)),
+            (x0 + 1, y0, dx * (1 - dy)),
+            (x0, y0 + 1, (1 - dx) * dy),
+            (x0 + 1, y0 + 1, dx * dy),
+        ):
+            # grid_sample padding_mode="zeros": out-of-bounds corners
+            # contribute zero, in-bounds ones keep their weights
+            ok = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            xi_c = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+            yi_c = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+            idx_parts.append(start + yi_c * w + xi_c)
+            w_parts.append(aw * cw * ok.astype(aw.dtype))
+        start += h * w
+
+    lc = levels * 4
+    idx_all = jnp.stack(idx_parts, axis=3)  # (B, Nq, heads, L·4, P)
+    w_all = jnp.stack(w_parts, axis=3)
+    k = nq * lc * points
+    idx_flat = idx_all.transpose(0, 1, 3, 4, 2).reshape(b, k, heads)
+    sampled = jnp.take_along_axis(v, idx_flat[..., None], axis=1)
+    sampled = sampled.reshape(b, nq, lc * points, heads, hd)
+    w_flat = w_all.transpose(0, 1, 3, 4, 2).reshape(b, nq, lc * points, heads)
+    out = jnp.sum(sampled * w_flat[..., None].astype(sampled.dtype), axis=2)
     return L.linear(p["out_proj"], out.reshape(b, nq, d))
 
 

@@ -147,6 +147,15 @@ def conv_init(key, in_ch, out_ch, kernel=3, bias=True, dtype=jnp.float32):
     return p
 
 
+def upsample2x_nearest(x):
+    """2× nearest upsample as broadcast+reshape — a pure relayout, no
+    gather (measured faster than jax.image.resize "nearest" on v5e:
+    156 vs 184 µs at (2,32,32,640), BASELINE.md r2)."""
+    b, h, w, c = x.shape
+    y = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return y.reshape(b, h * 2, w * 2, c)
+
+
 def conv2d(p, x, stride=1, padding="SAME"):
     """NHWC conv; weight HWIO."""
     w = p["w"].astype(x.dtype)

@@ -601,8 +601,7 @@ def apply(
                     kv_tree=cross_kv[f"up_{i}"][f"attn_{j}"] if cross_kv else None,
                 )
         if "up" in blk:
-            bb, hh, ww, c = h.shape
-            h = jax.image.resize(h, (bb, hh * 2, ww * 2, c), "nearest")
+            h = L.upsample2x_nearest(h)
             h = L.conv2d(blk["up"], h)
 
     h = L.group_norm(params["norm_out"], h, g, silu=True)

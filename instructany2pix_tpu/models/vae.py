@@ -187,8 +187,7 @@ def decode(params, z, cfg: VAEConfig = VAEConfig()):
         for j in range(cfg.layers_per_block + 1):
             h = _resnet(blk[f"res_{j}"], h, g)
         if "up" in blk:
-            b, hh, ww, c = h.shape
-            h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
+            h = L.upsample2x_nearest(h)
             h = L.conv2d(blk["up"], h)
     h = L.group_norm(p["norm_out"], h, g, eps=1e-6, silu=True)
     return L.conv2d(p["conv_out"], h)
