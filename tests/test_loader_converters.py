@@ -128,3 +128,51 @@ def test_vision_tower_select_features(rng):
     assert cls_patch.shape[1] == patch.shape[1] + 1
     zeros = vt.apply(params, None, cfg, batch=3)
     assert zeros.shape[0] == 3 and float(jnp.abs(zeros).max()) == 0.0
+
+
+def test_convert_checkpoints_cli_prior_roundtrip(tmp_path, rng):
+    """scripts/convert_checkpoints.py: torch bin → orbax → restore
+    round trip on the prior component (the one-time converter tool
+    SURVEY.md §5.4 requires)."""
+    import subprocess
+    import sys
+    import torch
+    from transformers import GPT2Config as HFCfg
+    from transformers import GPT2Model
+
+    from instructany2pix_tpu.core import checkpoint as ckpt_lib
+    from instructany2pix_tpu.prior import model as prior
+
+    cfg = prior.PriorConfig.tiny()
+    hf = GPT2Model(
+        HFCfg(vocab_size=50, n_positions=cfg.gpt2.max_positions,
+              n_embd=cfg.gpt2.hidden_size, n_layer=cfg.gpt2.num_layers,
+              n_head=cfg.gpt2.num_heads)
+    )
+    sd = {f"model.{k}": v for k, v in hf.state_dict().items()}
+    d = cfg.embed_dim
+    sd["start_of_sequence_tokens.weight"] = torch.randn(32, d)
+    sd["end_of_sequence_tokens.weight"] = torch.randn(32, d)
+    sd["modality_embedding.weight"] = torch.randn(10, d)
+    dims = {1: cfg.imagebind_dim, 2: cfg.text_dim, 3: cfg.score_dim}
+    for i, dim in dims.items():
+        sd[f"input_sequence_embed_linear.{i}.weight"] = torch.randn(d, dim)
+        sd[f"input_sequence_embed_linear.{i}.bias"] = torch.randn(d)
+    root = tmp_path / "ckpts"
+    (root / "prior").mkdir(parents=True)
+    torch.save(sd, root / "prior" / "model.bin")
+
+    out = tmp_path / "orbax"
+    import os as _os
+    env = dict(_os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [sys.executable, "scripts/convert_checkpoints.py",
+         "--ckpt", str(root), "--out", str(out), "--only", "prior"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ref = loaders.load_prior(str(root / "prior" / "model.bin"))
+    got = ckpt_lib.restore(str(out / "prior"))
+    leaf_ref = np.asarray(jax.tree.leaves(ref)[0])
+    leaf_got = np.asarray(jax.tree.leaves(got)[0])
+    np.testing.assert_allclose(leaf_got, leaf_ref, atol=1e-6)
