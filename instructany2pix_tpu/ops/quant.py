@@ -125,6 +125,7 @@ def quantize_tree(
     bits: int = 8,
     free_originals: bool = False,
     int4_grouped: bool = True,
+    int8_paths: Optional[Callable[[str], bool]] = None,
 ):
     """Walk a param pytree, replacing matched linear subtrees
     ({"w": 2D, ...}) with their quantized form. `should_quantize`
@@ -134,7 +135,12 @@ def quantize_tree(
     in place without holding both trees."""
     match = should_quantize or (lambda p: bool(_DEFAULT_PATTERN.search(p)))
 
-    def qfn(w):
+    def qfn(w, path=""):
+        if int8_paths is not None and int8_paths(path):
+            return quantize_weight(w)
+        return _qfn_bits(w)
+
+    def _qfn_bits(w):
         # int4 only where the Pallas decode kernel can take it (even K
         # for nibble packing, lane-aligned N); odd shapes — e.g. the
         # 32009-wide vocab head — stay int8 so they never hit the slow
@@ -152,7 +158,7 @@ def quantize_tree(
     def walk(node, path):
         if isinstance(node, dict):
             if "w" in node and getattr(node["w"], "ndim", 0) == 2 and match(path):
-                q = qfn(node["w"])
+                q = qfn(node["w"], path)
                 if free_originals:
                     # host readback = hard completion barrier (remote
                     # backends ack block_until_ready before execution
@@ -174,13 +180,21 @@ def quantize_tree(
 
 
 def quantize_llama(params, bits: int = 8, free_originals: bool = False,
-                   int4_grouped: bool = True):
+                   int4_grouped: bool = True, tp_rows_int8: bool = False):
     """Quantize every decoder linear (q/k/v/o/gate/up/down + lm_head);
     embeddings and norms stay bf16 (lookup tables and tiny vectors).
     `int4_grouped=False` trades NF4-class blockwise scales for the
-    faster per-channel int4 decode kernel."""
-    return quantize_tree(params, bits=bits, free_originals=free_originals,
-                         int4_grouped=int4_grouped)
+    faster per-channel int4 decode kernel. `tp_rows_int8` keeps the
+    row-parallel layers (o/down) at int8 so a tensor-parallel decode
+    can shard their contraction dim (int4's half-split nibble packing
+    cannot be row-sharded contiguously — parallel/sharding.py
+    LLAMA_TP_RULES)."""
+    rows = re.compile(r"layer_\d+\.(o|down)$")
+    return quantize_tree(
+        params, bits=bits, free_originals=free_originals,
+        int4_grouped=int4_grouped,
+        int8_paths=(lambda p: bool(rows.search(p))) if tp_rows_int8 else None,
+    )
 
 
 # ------------------------------------------------- Pallas decode kernel

@@ -76,13 +76,27 @@ def fsdp_shardings(params, mesh: Mesh, min_size: int = 1024):
 # ------------------------------------------------------------------ TP
 
 # (regex over flat param path, PartitionSpec) — first match wins.
+# Quantized trees shard too: column-parallel layers split the output
+# dim of w_q / packed w_q4 together with their per-channel "scale" and
+# blockwise "gscale" (both N-minor); row-parallel layers split the
+# contraction dim — int8 rows split cleanly, int4's half-split nibble
+# packing does NOT (byte row i holds logical rows i and i+K/2, so a
+# contiguous packed-row shard is a non-contiguous logical shard) →
+# quantize_llama(tp_rows_int8=True) keeps o/down at int8 for TP decode.
 LLAMA_TP_RULES: Rules = [
     (r"embed_tokens\.w$", P(None, MODEL_AXIS)),
-    (r"lm_head\.w$", P(None, MODEL_AXIS)),
-    (r"layer_\d+\.(q|k|v)\.w$", P(None, MODEL_AXIS)),  # column parallel
-    (r"layer_\d+\.o\.w$", P(MODEL_AXIS, None)),  # row parallel
-    (r"layer_\d+\.(gate|up)\.w$", P(None, MODEL_AXIS)),
-    (r"layer_\d+\.down\.w$", P(MODEL_AXIS, None)),
+    (r"lm_head\.(w|w_q)$", P(None, MODEL_AXIS)),
+    (r"lm_head\.scale$", P(MODEL_AXIS)),
+    (r"layer_\d+\.(q|k|v|qkv)\.(w|w_q|w_q4)$", P(None, MODEL_AXIS)),  # column
+    (r"layer_\d+\.(q|k|v|qkv)\.scale$", P(MODEL_AXIS)),
+    (r"layer_\d+\.(q|k|v|qkv)\.gscale$", P(None, MODEL_AXIS)),
+    (r"layer_\d+\.o\.(w|w_q)$", P(MODEL_AXIS, None)),  # row parallel
+    (r"layer_\d+\.o\.(scale|gscale)$", P()),
+    (r"layer_\d+\.(gate|up|gate_up)\.(w|w_q|w_q4)$", P(None, MODEL_AXIS)),
+    (r"layer_\d+\.(gate|up|gate_up)\.scale$", P(MODEL_AXIS)),
+    (r"layer_\d+\.(gate|up|gate_up)\.gscale$", P(None, MODEL_AXIS)),
+    (r"layer_\d+\.down\.(w|w_q)$", P(MODEL_AXIS, None)),
+    (r"layer_\d+\.down\.(scale|gscale)$", P()),
     (r".*norm\.g$", P()),
 ]
 

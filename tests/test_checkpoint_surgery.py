@@ -70,3 +70,44 @@ def test_tp_rules_llama(mesh8, rng):
     assert "model" in str(q.sharding.spec)
     # norms replicated
     assert flat["layer_0.input_norm.g"].sharding.is_fully_replicated
+
+
+def test_tp_rules_quantized_llama_decode_matches(mesh8, rng):
+    """Quantized (int4-grouped + tp_rows_int8) decoder TP-shards via the
+    extended LLAMA_TP_RULES and generates identically to the unsharded
+    tree — the v5e-8 int4 decode deployment path (docs/PERF.md §4)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instructany2pix_tpu.llm import generate as gen_lib
+    from instructany2pix_tpu.models import llama
+    from instructany2pix_tpu.ops import quant as Q
+
+    # dims sized so column shards divide across 2 model devices and
+    # int4 grouping applies (K % 256 == 0)
+    cfg = llama.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=4, max_seq_len=64,
+    )
+    params = llama.init(rng, cfg)
+    qparams = Q.quantize_llama(params, bits=4, tp_rows_int8=True)
+    assert "w_q4" in qparams["layer_0"]["q"] and "gscale" in qparams["layer_0"]["q"]
+    assert "w_q" in qparams["layer_0"]["o"]  # row-parallel stays int8
+    assert "w_q" in qparams["layer_0"]["down"]
+
+    ids = jnp.asarray([[1, 5, 9, 20]])
+    emb = llama.embed(qparams, ids)
+    ref = gen_lib.generate(qparams, cfg, emb, jax.random.key(0),
+                           max_new_tokens=4, temperature=0.0, eos_id=2, max_len=16)
+
+    sharded = sh.apply_tp_rules(qparams, mesh8, sh.LLAMA_TP_RULES)
+    flat = tree_util.flatten(sharded)
+    assert "model" in str(flat["layer_0.q.w_q4"].sharding.spec)
+    assert "model" in str(flat["layer_0.q.gscale"].sharding.spec)
+    assert "model" in str(flat["layer_0.o.w_q"].sharding.spec)
+    with jax.set_mesh(mesh8):
+        got = gen_lib.generate(sharded, cfg, emb, jax.random.key(0),
+                               max_new_tokens=4, temperature=0.0, eos_id=2,
+                               max_len=16)
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
