@@ -332,3 +332,61 @@ def generate_partial(
     out = _ar_decode(params, cfg, emb, mask, max(3 * t // 4, 1))
     full = jnp.concatenate([prefix, out], axis=1)
     return _project_out(params, full)
+
+
+# ------------------------------------------------------------ training aux
+
+
+def make_optimizer(
+    learning_rate: float,
+    weight_decay: float = 0.0,
+    warmup_steps: int = 1000,
+    step_size_epochs: int = 5,
+    gamma: float = 0.8,
+    steps_per_epoch: int = 1000,
+):
+    """The prior's training optimizer (reference prior/model.py:262-270
+    `configure_optimizers`: AdamW + StepLR(step_size=5, γ=0.8), plus the
+    `warmup_step` hook :383-401 — 1000-step linear warmup) as one optax
+    chain. Lightning steps the StepLR per EPOCH; pass `steps_per_epoch`
+    to reproduce that cadence."""
+    import optax
+
+    def schedule(step):
+        warm = jnp.minimum(step / jnp.maximum(warmup_steps, 1), 1.0)
+        epoch = step // steps_per_epoch
+        return learning_rate * warm * gamma ** (epoch // step_size_epochs)
+
+    return optax.chain(
+        optax.scale_by_adam(),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
+def mask_target_sequence(
+    target: jax.Array,  # (B, L, D)
+    attn_mask: jax.Array,  # (B, L)
+    key: jax.Array,
+    mask_ratio: float,
+    random_ratio: bool = False,
+):
+    """Reference prior/model.py:403-420: randomly zero target embeddings
+    (and their attention slots) at `mask_ratio` — optionally a uniform
+    draw in [0, mask_ratio] per batch (`random_mask_ratio`). Returns
+    (masked_target, masked_attn_mask, keep_mask)."""
+    if mask_ratio <= 1e-4:
+        return target, attn_mask, None
+    kc = KeyChain(key)
+    b, l, _ = target.shape
+    ratio = (
+        jax.random.uniform(kc(), ()) * mask_ratio if random_ratio else mask_ratio
+    )
+    keep = jax.random.uniform(kc(), (b, l)) > ratio
+    masked = jnp.where(keep[..., None], target, jnp.zeros_like(target))
+    return masked, attn_mask * keep.astype(attn_mask.dtype), keep
+
+
+def param_count(params) -> int:
+    """Reference's parameter-count helpers (prior/model.py:747-794)."""
+    return int(sum(x.size for x in jax.tree.leaves(params)))

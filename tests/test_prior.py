@@ -115,3 +115,40 @@ def test_train_forward_loss_and_grads(rng):
     assert np.isfinite(float(loss))
     gmax = max(float(jnp.abs(g).max()) for g in jax.tree.leaves(grads["gpt2"]))
     assert gmax > 0
+
+
+def test_prior_training_aux(rng):
+    """Optimizer schedule (warmup → StepLR decay) and target masking
+    parity helpers (reference prior/model.py:262-270, 383-420)."""
+    import jax
+    import jax.numpy as jnp
+
+    from instructany2pix_tpu.prior import model as prior
+
+    tx = prior.make_optimizer(1e-3, warmup_steps=10, steps_per_epoch=10,
+                              step_size_epochs=2, gamma=0.5)
+    p = {"w": jnp.ones((4, 4))}
+    state = tx.init(p)
+    g = {"w": jnp.ones((4, 4))}
+    # warmup: first update is tiny relative to post-warmup
+    up1, state = tx.update(g, state, p)
+    for _ in range(30):
+        up, state = tx.update(g, state, p)
+    assert float(jnp.abs(up1["w"]).mean()) < float(jnp.abs(up["w"]).mean()) * 10
+
+    tgt = jax.random.normal(jax.random.key(1), (2, 8, 4))
+    am = jnp.ones((2, 8))
+    masked, am2, keep = prior.mask_target_sequence(
+        tgt, am, jax.random.key(2), mask_ratio=0.5
+    )
+    assert keep is not None and bool((~keep).sum() > 0)
+    assert float(am2.sum()) < float(am.sum())
+    # zeroed where dropped
+    import numpy as np
+    np.testing.assert_array_equal(
+        np.asarray(masked)[~np.asarray(keep)], 0.0
+    )
+    # below threshold: no-op
+    a, b, k = prior.mask_target_sequence(tgt, am, jax.random.key(3), 0.0)
+    assert k is None
+    assert prior.param_count(p) == 16
