@@ -294,6 +294,37 @@ def _bi_attention(p, img, txt, heads, text_mask):
     return img + p["gamma_v"] * dv, txt + p["gamma_l"] * dl
 
 
+def _inv_sigmoid(x):
+    x = jnp.clip(x, 1e-5, 1 - 1e-5)
+    return jnp.log(x / (1 - x))
+
+
+def _dec_layer(p, q, boxes, txt, img, shapes, heads, points, tmask, pos):
+    """One decoder layer, official DeformableTransformerDecoderLayer
+    ordering (transformer.py): self-attn (q=k=tgt+pos, v=tgt) → text
+    cross-attn (query carries pos) → deformable image cross-attn (query
+    carries pos, reference = current boxes) → FFN; then the decoder
+    loop's iterative box refinement sigmoid(inv_sigmoid(ref) +
+    bbox_embed(output)). Torch-golden-parity-tested
+    (tests/test_gdino_parity.py)."""
+    qp = q + pos
+    q = L.layer_norm(p["ln1"], q + _mha(p["self_attn"], qp, qp, q, heads))
+    q = L.layer_norm(
+        p["ln2"],
+        q + _mha(p["txt_cross"], q + pos, txt, txt, heads, mask=tmask),
+    )
+    q = L.layer_norm(
+        p["ln3"],
+        q
+        + deformable_attention(
+            p["img_deform"], q + pos, boxes, img, shapes, heads, points
+        ),
+    )
+    q = _ffn(p["ffn"], q)
+    boxes = jax.nn.sigmoid(_inv_sigmoid(boxes) + _box_mlp(p["box_mlp"], q))
+    return q, boxes
+
+
 # ------------------------------------------------------------------ model
 
 
@@ -489,35 +520,19 @@ def forward(
     mem_top = jnp.take_along_axis(mem, top[..., None], axis=1)
     ref_box = jnp.take_along_axis(img_refs, top[..., None], axis=1)
 
-    def inv_sigmoid(x):
-        x = jnp.clip(x, 1e-5, 1 - 1e-5)
-        return jnp.log(x / (1 - x))
-
     # encoder box proposals refined from selected memory (official
     # enc_out_bbox_embed over the grid proposal)
     prop = jnp.concatenate([ref_box, jnp.full_like(ref_box, 0.1)], axis=-1)
-    boxes = jax.nn.sigmoid(inv_sigmoid(prop) + _box_mlp(params["enc_bbox"], mem_top))
+    boxes = jax.nn.sigmoid(_inv_sigmoid(prop) + _box_mlp(params["enc_bbox"], mem_top))
     # learnable content queries (official tgt_embed), not the memory
     q = jnp.tile(params["tgt_embed"][:k][None], (b, 1, 1))
 
     for i in range(cfg.dec_layers):
-        p = params[f"dec_{i}"]
         pos = _ref_pos(params, boxes, d)
-        qp = q + pos
-        q = L.layer_norm(p["ln1"], q + _mha(p["self_attn"], qp, qp, q, cfg.heads))
-        q = L.layer_norm(
-            p["ln2"],
-            q + _mha(p["txt_cross"], q + pos, txt, txt, cfg.heads, mask=tmask),
+        q, boxes = _dec_layer(
+            params[f"dec_{i}"], q, boxes, txt, img, shapes, cfg.heads,
+            cfg.points, tmask, pos,
         )
-        q = L.layer_norm(
-            p["ln3"],
-            q
-            + deformable_attention(
-                p["img_deform"], q, boxes, img, shapes, cfg.heads, cfg.points
-            ),
-        )
-        q = _ffn(p["ffn"], q)
-        boxes = jax.nn.sigmoid(inv_sigmoid(boxes) + _box_mlp(p["box_mlp"], q))
 
     logits = jnp.einsum("bqd,btd->bqt", q, txt) / math.sqrt(d) + params["class_bias"]
     logits = jnp.where(tmask[:, None, :], logits, -1e9)

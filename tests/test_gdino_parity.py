@@ -142,3 +142,218 @@ def test_deformable_attention_box_refpoints():
             + offs / points * r[:, :, None, None, None, 2:] * 0.5)
     ref_out = t_ms_deform_attn_core(v_proj, shapes, locs, wts).numpy()
     np.testing.assert_allclose(got, ref_out, atol=3e-5, rtol=1e-4)
+
+
+def test_fusion_biattention_torch_golden_parity():
+    """BiAttentionBlock golden parity: hand-built torch module per the
+    official GroundingDINO/GLIP BiMultiHeadAttention (shared image-text
+    logits, per-direction softmax, ±50000 clamps, text-direction row-max
+    stabilization, layer-scale gammas) vs `gdino._bi_attention`."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    import jax.numpy as jnp
+
+    from instructany2pix_tpu.grounding import gdino as G
+    from instructany2pix_tpu.core.prng import KeyChain
+
+    d, heads, nv, nl, b = 32, 4, 10, 7, 2
+    hd = d // heads
+
+    class BiMHA(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.v_proj = nn.Linear(d, d)
+            self.l_proj = nn.Linear(d, d)
+            self.values_v_proj = nn.Linear(d, d)
+            self.values_l_proj = nn.Linear(d, d)
+            self.out_v_proj = nn.Linear(d, d)
+            self.out_l_proj = nn.Linear(d, d)
+            self.scale = hd ** -0.5
+
+        def _shape(self, t, n):
+            return t.view(b, n, heads, hd).transpose(1, 2).reshape(b * heads, n, hd)
+
+        def forward(self, v, l, attention_mask_l=None):
+            q = self._shape(self.v_proj(v) * self.scale, nv)
+            k = self._shape(self.l_proj(l), nl)
+            vv = self._shape(self.values_v_proj(v), nv)
+            vl = self._shape(self.values_l_proj(l), nl)
+            w = torch.bmm(q, k.transpose(1, 2))  # (b*h, nv, nl)
+            w = torch.clamp(w, min=-50000, max=50000)
+            wT = w.transpose(1, 2)
+            wl = wT - wT.max(dim=-1, keepdim=True)[0]
+            wl = torch.clamp(wl, min=-50000, max=50000)
+            attn_l = wl.softmax(dim=-1)
+            if attention_mask_l is not None:
+                m = attention_mask_l[:, None, None, :].repeat(1, heads, 1, 1)
+                w = w.view(b, heads, nv, nl).masked_fill(~m, float("-inf"))
+                w = w.view(b * heads, nv, nl)
+            attn_v = w.softmax(dim=-1)
+            out_v = torch.bmm(attn_v, vl)
+            out_l = torch.bmm(attn_l, vv)
+            out_v = out_v.view(b, heads, nv, hd).transpose(1, 2).reshape(b, nv, d)
+            out_l = out_l.view(b, heads, nl, hd).transpose(1, 2).reshape(b, nl, d)
+            return self.out_v_proj(out_v), self.out_l_proj(out_l)
+
+    class BiBlock(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layer_norm_v = nn.LayerNorm(d)
+            self.layer_norm_l = nn.LayerNorm(d)
+            self.attn = BiMHA()
+            self.gamma_v = nn.Parameter(torch.full((d,), 1e-4))
+            self.gamma_l = nn.Parameter(torch.full((d,), 1e-4))
+
+        def forward(self, v, l, mask_l):
+            dv, dl = self.attn(self.layer_norm_v(v), self.layer_norm_l(l), mask_l)
+            return v + self.gamma_v * dv, l + self.gamma_l * dl
+
+    tm = BiBlock().eval()
+    with torch.no_grad():
+        tm.gamma_v.copy_(torch.randn(d) * 0.1)
+        tm.gamma_l.copy_(torch.randn(d) * 0.1)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    def lin(name):
+        return {"w": np.ascontiguousarray(sd[f"{name}.weight"].T),
+                "b": sd[f"{name}.bias"]}
+
+    p = {
+        "ln_v": {"g": sd["layer_norm_v.weight"], "b": sd["layer_norm_v.bias"]},
+        "ln_l": {"g": sd["layer_norm_l.weight"], "b": sd["layer_norm_l.bias"]},
+        "v_proj": lin("attn.v_proj"),
+        "l_proj": lin("attn.l_proj"),
+        "values_v_proj": lin("attn.values_v_proj"),
+        "values_l_proj": lin("attn.values_l_proj"),
+        "out_v_proj": lin("attn.out_v_proj"),
+        "out_l_proj": lin("attn.out_l_proj"),
+        "gamma_v": sd["gamma_v"],
+        "gamma_l": sd["gamma_l"],
+    }
+    p = {k: ({kk: jnp.asarray(vv) for kk, vv in v.items()} if isinstance(v, dict)
+             else jnp.asarray(v)) for k, v in p.items()}
+
+    rs = np.random.RandomState(0)
+    img = rs.randn(b, nv, d).astype(np.float32)
+    txt = rs.randn(b, nl, d).astype(np.float32)
+    mask = np.ones((b, nl), bool)
+    mask[1, 5:] = False  # padded text tokens on row 1
+
+    with torch.no_grad():
+        tv, tl = tm(torch.from_numpy(img), torch.from_numpy(txt),
+                    torch.from_numpy(mask))
+    jv, jl = G._bi_attention(p, jnp.asarray(img), jnp.asarray(txt), heads,
+                             jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(jv), tv.numpy(), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jl), tl.numpy(), atol=2e-5, rtol=1e-4)
+
+
+def test_decoder_layer_torch_golden_parity():
+    """Full decoder-layer glue golden parity: torch modules per the
+    official DeformableTransformerDecoderLayer (self-attn with pos
+    queries → text cross-attn with pos → deformable image cross-attn
+    with pos and box reference points → FFN → iterative box refinement)
+    vs `gdino._dec_layer`. Catches ordering/pos/norm-placement bugs the
+    primitive-level tests can't (this hunt FOUND the missing pos on the
+    deformable query)."""
+    import torch.nn as nn
+
+    d, heads, points = 16, 2, 2
+    shapes = [(4, 4), (2, 2)]
+    levels = len(shapes)
+    nv = sum(h * w for h, w in shapes)
+    b, nq, nl = 2, 3, 5
+    hd = d // heads
+    ffn = 32
+
+    torch.manual_seed(0)
+    self_attn = nn.MultiheadAttention(d, heads, batch_first=True).eval()
+    ca_text = nn.MultiheadAttention(d, heads, batch_first=True).eval()
+    value_proj = nn.Linear(d, d)
+    sampling_offsets = nn.Linear(d, heads * levels * points * 2)
+    attention_weights = nn.Linear(d, heads * levels * points)
+    output_proj = nn.Linear(d, d)
+    lin1, lin2 = nn.Linear(d, ffn), nn.Linear(ffn, d)
+    norm1, norm2, norm3, catext_norm = (nn.LayerNorm(d) for _ in range(4))
+    box_mlp = nn.Sequential(nn.Linear(d, d), nn.ReLU(), nn.Linear(d, d),
+                            nn.ReLU(), nn.Linear(d, 4))
+
+    rs = np.random.RandomState(1)
+    tgt = torch.from_numpy(rs.randn(b, nq, d).astype(np.float32))
+    pos = torch.from_numpy(rs.randn(b, nq, d).astype(np.float32))
+    txt = torch.from_numpy(rs.randn(b, nl, d).astype(np.float32))
+    img = torch.from_numpy(rs.randn(b, nv, d).astype(np.float32))
+    boxes = torch.from_numpy(
+        (0.2 + 0.6 * rs.rand(b, nq, 4)).astype(np.float32))
+    valid = np.ones((b, nl), bool); valid[1, 3:] = False
+
+    def inverse_sigmoid(x, eps=1e-5):
+        x = x.clamp(0, 1)
+        return torch.log(x.clamp(min=eps) / (1 - x).clamp(min=eps))
+
+    with torch.no_grad():
+        qp = tgt + pos
+        t2 = self_attn(qp, qp, tgt, need_weights=False)[0]
+        out = norm2(tgt + t2)
+        t2 = ca_text(out + pos, txt, txt,
+                     key_padding_mask=torch.from_numpy(~valid),
+                     need_weights=False)[0]
+        out = catext_norm(out + t2)
+        q_c = out + pos
+        v = value_proj(img).view(b, nv, heads, hd)
+        offs = sampling_offsets(q_c).view(b, nq, heads, levels, points, 2)
+        wts = attention_weights(q_c).view(b, nq, heads, levels * points)
+        wts = wts.softmax(-1).view(b, nq, heads, levels, points)
+        locs = (boxes[:, :, None, None, None, :2]
+                + offs / points * boxes[:, :, None, None, None, 2:] * 0.5)
+        core = t_ms_deform_attn_core(v, shapes, locs, wts)
+        out = norm1(out + output_proj(core))
+        out = norm3(out + lin2(torch.relu(lin1(out))))
+        want_boxes = torch.sigmoid(inverse_sigmoid(boxes) + box_mlp(out))
+    want_q = out.numpy()
+
+    # ---- map weights into our param layout
+    def lin_t(m):
+        return {"w": np.ascontiguousarray(m.weight.detach().numpy().T),
+                "b": m.bias.detach().numpy()}
+
+    def mha_t(m):
+        W = m.in_proj_weight.detach().numpy()
+        B = m.in_proj_bias.detach().numpy()
+        return {
+            "q": {"w": np.ascontiguousarray(W[:d].T), "b": B[:d]},
+            "k": {"w": np.ascontiguousarray(W[d:2*d].T), "b": B[d:2*d]},
+            "v": {"w": np.ascontiguousarray(W[2*d:].T), "b": B[2*d:]},
+            "o": lin_t(m.out_proj),
+        }
+
+    def ln_t(m):
+        return {"g": m.weight.detach().numpy(), "b": m.bias.detach().numpy()}
+
+    p = {
+        "self_attn": mha_t(self_attn),
+        "ln1": ln_t(norm2),  # our ln1 = official norm2 (after self-attn)
+        "txt_cross": mha_t(ca_text),
+        "ln2": ln_t(catext_norm),
+        "img_deform": {
+            "value_proj": lin_t(value_proj),
+            "sampling_offsets": lin_t(sampling_offsets),
+            "attn_weights": lin_t(attention_weights),
+            "out_proj": lin_t(output_proj),
+        },
+        "ln3": ln_t(norm1),  # official norm1 (after deformable cross)
+        "ffn": {"fc1": lin_t(lin1), "fc2": lin_t(lin2), "ln": ln_t(norm3)},
+        "box_mlp": {"fc0": lin_t(box_mlp[0]), "fc1": lin_t(box_mlp[2]),
+                    "fc2": lin_t(box_mlp[4])},
+    }
+    jp = jax.tree.map(jnp.asarray, p)
+    got_q, got_boxes = gdino_lib._dec_layer(
+        jp, jnp.asarray(tgt.numpy()), jnp.asarray(boxes.numpy()),
+        jnp.asarray(txt.numpy()), jnp.asarray(img.numpy()), shapes, heads,
+        points, jnp.asarray(valid), jnp.asarray(pos.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(got_q), want_q, atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got_boxes), want_boxes.numpy(), atol=3e-5, rtol=1e-4)
