@@ -351,7 +351,6 @@ def init(key, cfg: GDinoConfig = GDinoConfig.tiny()):
             "fc1": L.linear_init(kc(), d, d),
             "fc2": L.linear_init(kc(), d, 4, scale=1e-3),
         },
-        "class_bias": jnp.zeros(()),
     }
     n_stages = len(cfg.swin.out_stages)
     for i in range(n_stages):
@@ -478,14 +477,18 @@ def forward(
     txt = L.linear(params["text_proj"], txt_raw)
     txt_pos = _sine_pos_1d(txt.shape[1], d)[None].astype(txt.dtype)
 
-    # reference points for image self-attn: each token's own grid center
-    refs = []
-    for h, w in shapes:
+    # reference points for image self-attn: each token's own grid center;
+    # proposal wh grows with the level (official
+    # gen_encoder_output_proposals: wh = 0.05 * 2**lvl)
+    refs, whs = [], []
+    for li, (h, w) in enumerate(shapes):
         ys = (jnp.arange(h) + 0.5) / h
         xs = (jnp.arange(w) + 0.5) / w
         gx, gy = jnp.meshgrid(xs, ys)
         refs.append(jnp.stack([gx, gy], axis=-1).reshape(-1, 2))
+        whs.append(jnp.full((h * w, 2), 0.05 * 2.0 ** li))
     img_refs = jnp.tile(jnp.concatenate(refs, axis=0)[None], (b, 1, 1))
+    img_whs = jnp.tile(jnp.concatenate(whs, axis=0)[None], (b, 1, 1))
 
     tmask = text_mask.astype(bool)
     for i in range(cfg.enc_layers):
@@ -511,7 +514,8 @@ def forward(
         txt = _ffn(p["txt_ffn"], txt)
 
     # language-guided query selection
-    mem = L.linear(params["enc_out_proj"], L.layer_norm(params["enc_out_ln"], img))
+    # official: enc_output Linear FIRST, then enc_output_norm
+    mem = L.layer_norm(params["enc_out_ln"], L.linear(params["enc_out_proj"], img))
     sim = jnp.einsum("bnd,btd->bnt", mem, txt)
     sim = jnp.where(tmask[:, None, :], sim, -1e9)
     scores = jnp.max(sim, axis=-1)  # (B, N)
@@ -519,10 +523,11 @@ def forward(
     top = jax.lax.top_k(scores, k)[1]  # (B, k)
     mem_top = jnp.take_along_axis(mem, top[..., None], axis=1)
     ref_box = jnp.take_along_axis(img_refs, top[..., None], axis=1)
+    ref_wh = jnp.take_along_axis(img_whs, top[..., None], axis=1)
 
     # encoder box proposals refined from selected memory (official
     # enc_out_bbox_embed over the grid proposal)
-    prop = jnp.concatenate([ref_box, jnp.full_like(ref_box, 0.1)], axis=-1)
+    prop = jnp.concatenate([ref_box, ref_wh], axis=-1)
     boxes = jax.nn.sigmoid(_inv_sigmoid(prop) + _box_mlp(params["enc_bbox"], mem_top))
     # learnable content queries (official tgt_embed), not the memory
     q = jnp.tile(params["tgt_embed"][:k][None], (b, 1, 1))
@@ -534,7 +539,9 @@ def forward(
             cfg.points, tmask, pos,
         )
 
-    logits = jnp.einsum("bqd,btd->bqt", q, txt) / math.sqrt(d) + params["class_bias"]
+    # ContrastiveEmbed (official utils.py): plain visual·text dot,
+    # no scale, no bias
+    logits = jnp.einsum("bqd,btd->bqt", q, txt)
     logits = jnp.where(tmask[:, None, :], logits, -1e9)
     return boxes, logits
 
@@ -763,7 +770,6 @@ def convert_from_torch(path_or_sd, cfg: GDinoConfig) -> dict:
     eb = "transformer.enc_out_bbox_embed.layers"
     for j in range(3):
         lin(f"enc_bbox.fc{j}", f"{eb}.{j}")
-    put("class_bias", np.zeros(()))
 
     from ..core import tree as tree_util
 
