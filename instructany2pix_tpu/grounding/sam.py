@@ -274,11 +274,14 @@ def _xattn_init(kc, d, heads, kv_d=None, internal=None):
     }
 
 
-def _xattn(p, q_in, kv, heads):
+def _xattn(p, q_in, kv, heads, v_in=None):
+    # official SAM Attention takes q/k/v separately — positional
+    # embeddings ride q and k only, values stay raw (v_in defaults to
+    # kv for the self-attention case)
     b, nq, _ = q_in.shape
     q = L.linear(p["q"], q_in)
     k = L.linear(p["k"], kv)
-    v = L.linear(p["v"], kv)
+    v = L.linear(p["v"], kv if v_in is None else v_in)
     d = q.shape[-1]
     hd = d // heads
     o = dot_product_attention(
@@ -338,23 +341,24 @@ def decoder_apply(params, img_embed, img_pe, sparse_prompt, cfg: SAMConfig):
     pos = img_pe.reshape(1, g * g, c)
     q = tokens
     heads = cfg.decoder_heads
+    # official TwoWayAttentionBlock: query_pe = the ORIGINAL tokens,
+    # key_pe = image pe; pe rides q/k only, values stay raw; the first
+    # layer's self-attention REPLACES queries (skip_first_layer_pe)
     for i in range(cfg.decoder_depth):
         p = params[f"layer_{i}"]
         if i == 0:
-            q = q + _xattn(p["self_attn"], q, q, heads)
+            q = _xattn(p["self_attn"], q, q, heads)
         else:
             qt = q + tokens
-            q = q + _xattn(p["self_attn"], qt, qt, heads)
+            q = q + _xattn(p["self_attn"], qt, qt, heads, v_in=q)
         q = L.layer_norm(p["ln1"], q)
-        qt = q + tokens
-        q = q + _xattn(p["cross_t2i"], qt, src + pos, heads)
+        q = q + _xattn(p["cross_t2i"], q + tokens, src + pos, heads, v_in=src)
         q = L.layer_norm(p["ln2"], q)
         q = q + L.linear(p["fc2"], jax.nn.relu(L.linear(p["fc1"], q)))
         q = L.layer_norm(p["ln3"], q)
-        src = src + _xattn(p["cross_i2t"], src + pos, q + tokens, heads)
+        src = src + _xattn(p["cross_i2t"], src + pos, q + tokens, heads, v_in=q)
         src = L.layer_norm(p["ln4"], src)
-    qt = q + tokens
-    q = q + _xattn(params["final_attn"], qt, src + pos, heads)
+    q = q + _xattn(params["final_attn"], q + tokens, src + pos, heads, v_in=src)
     q = L.layer_norm(params["final_ln"], q)
 
     iou = _mlp(params["iou_head"], q[:, 0])
@@ -536,12 +540,15 @@ def convert_from_sam(path_or_sd, cfg: SAMConfig) -> dict:
         (r"mask_decoder\.transformer\.norm_final_attn\.bias", r"decoder.final_ln.b", None),
         # ConvTranspose2d weight (in, out, kh, kw) → ours (kh, kw, out, in)
         (r"mask_decoder\.output_upscaling\.0\.weight", r"decoder.up_conv1.w",
-         lambda t: np.ascontiguousarray(np.transpose(t, (2, 3, 1, 0)))),
+         # torch ConvTranspose2d (in,out,kh,kw) -> HWOI with SPATIAL
+         # FLIP (lax.conv_transpose taps mirror torch's; verified
+         # numerically in tests/test_sam_parity.py)
+         lambda t: np.ascontiguousarray(np.transpose(t, (2, 3, 1, 0))[::-1, ::-1])),
         (r"mask_decoder\.output_upscaling\.0\.bias", r"decoder.up_conv1.b", None),
         (r"mask_decoder\.output_upscaling\.1\.weight", r"decoder.up_ln.g", None),
         (r"mask_decoder\.output_upscaling\.1\.bias", r"decoder.up_ln.b", None),
         (r"mask_decoder\.output_upscaling\.3\.weight", r"decoder.up_conv2.w",
-         lambda t: np.ascontiguousarray(np.transpose(t, (2, 3, 1, 0)))),
+         lambda t: np.ascontiguousarray(np.transpose(t, (2, 3, 1, 0))[::-1, ::-1])),
         (r"mask_decoder\.output_upscaling\.3\.bias", r"decoder.up_conv2.b", None),
         (r"mask_decoder\.output_hypernetworks_mlps\.(\d+)\.layers\.(\d+)\.weight",
          r"decoder.hyper_\1.fc\2.w", L_),

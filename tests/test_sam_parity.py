@@ -7,6 +7,7 @@ numerically, not just by key coverage)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from instructany2pix_tpu.grounding import sam as sam_lib
@@ -159,3 +160,177 @@ def test_sam_encoder_converter_parity():
     np.testing.assert_allclose(
         got, ref.transpose(0, 2, 3, 1), atol=3e-5, rtol=1e-4
     )
+
+
+def test_two_way_decoder_torch_golden_parity():
+    """Full mask-decoder glue golden parity: torch modules per the
+    official segment-anything TwoWayTransformer + MaskDecoder
+    (skip-first-layer-pe self-attn REPLACING queries, pe on q/k only —
+    values raw, downsample-rate-2 cross attentions, ConvTranspose
+    upscaling + hypernetwork mask heads + IoU MLP) vs
+    `sam.decoder_apply`. This hunt FOUND two glue bugs: values carrying
+    positional embeddings and a wrong first-layer residual."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    d, heads, depth, mlp_dim = 32, 4, 2, 64
+    g, b, n_prompt, n_mask = 4, 2, 3, 4
+
+    class TAttn(nn.Module):
+        def __init__(self, rate=1):
+            super().__init__()
+            inner = d // rate
+            self.q_proj = nn.Linear(d, inner)
+            self.k_proj = nn.Linear(d, inner)
+            self.v_proj = nn.Linear(d, inner)
+            self.out_proj = nn.Linear(inner, d)
+            self.inner = inner
+
+        def forward(self, q, k, v):
+            q, k, v = self.q_proj(q), self.k_proj(k), self.v_proj(v)
+            hd = self.inner // heads
+
+            def sh(t):
+                return t.view(b, -1, heads, hd).transpose(1, 2)
+
+            q, k, v = sh(q), sh(k), sh(v)
+            a = (q @ k.transpose(-1, -2)) / (hd ** 0.5)
+            o = (a.softmax(dim=-1) @ v).transpose(1, 2).reshape(b, -1, self.inner)
+            return self.out_proj(o)
+
+    class Block(nn.Module):
+        def __init__(self, first):
+            super().__init__()
+            self.first = first
+            self.self_attn = TAttn()
+            self.norm1 = nn.LayerNorm(d)
+            self.cross_t2i = TAttn(2)
+            self.norm2 = nn.LayerNorm(d)
+            self.lin1 = nn.Linear(d, mlp_dim)
+            self.lin2 = nn.Linear(mlp_dim, d)
+            self.norm3 = nn.LayerNorm(d)
+            self.cross_i2t = TAttn(2)
+            self.norm4 = nn.LayerNorm(d)
+
+        def forward(self, queries, keys, qpe, kpe):
+            if self.first:
+                queries = self.self_attn(queries, queries, queries)
+            else:
+                q = queries + qpe
+                queries = queries + self.self_attn(q, q, queries)
+            queries = self.norm1(queries)
+            queries = queries + self.cross_t2i(queries + qpe, keys + kpe, keys)
+            queries = self.norm2(queries)
+            queries = queries + self.lin2(torch.relu(self.lin1(queries)))
+            queries = self.norm3(queries)
+            keys = keys + self.cross_i2t(keys + kpe, queries + qpe, queries)
+            keys = self.norm4(keys)
+            return queries, keys
+
+    torch.manual_seed(0)
+    blocks = nn.ModuleList([Block(i == 0) for i in range(depth)]).eval()
+    final_attn = TAttn(2).eval()
+    norm_final = nn.LayerNorm(d)
+    upc1 = nn.ConvTranspose2d(d, d // 4, 2, stride=2)
+    up_ln = nn.LayerNorm(d // 4)
+    upc2 = nn.ConvTranspose2d(d // 4, d // 8, 2, stride=2)
+    hypers = nn.ModuleList([
+        nn.Sequential(nn.Linear(d, d), nn.ReLU(), nn.Linear(d, d), nn.ReLU(),
+                      nn.Linear(d, d // 8)) for _ in range(n_mask)
+    ])
+    iou_head = nn.Sequential(nn.Linear(d, d), nn.ReLU(), nn.Linear(d, d),
+                             nn.ReLU(), nn.Linear(d, n_mask))
+
+    rs = np.random.RandomState(2)
+    iou_tok = rs.randn(1, d).astype(np.float32)
+    mask_toks = rs.randn(n_mask, d).astype(np.float32)
+    sparse = rs.randn(b, n_prompt, d).astype(np.float32)
+    img_embed = rs.randn(b, g, g, d).astype(np.float32)
+    img_pe = rs.randn(1, g, g, d).astype(np.float32)
+
+    with torch.no_grad():
+        tokens = torch.cat([
+            torch.from_numpy(iou_tok).expand(b, -1, -1),
+            torch.from_numpy(mask_toks).expand(b, -1, -1),
+            torch.from_numpy(sparse),
+        ], dim=1)
+        keys = torch.from_numpy(img_embed).reshape(b, g * g, d)
+        kpe = torch.from_numpy(img_pe).reshape(1, g * g, d).expand(b, -1, -1)
+        queries = tokens
+        for blk in blocks:
+            queries, keys = blk(queries, keys, tokens, kpe)
+        queries = queries + final_attn(queries + tokens, keys + kpe, keys)
+        queries = norm_final(queries)
+        iou_want = iou_head(queries[:, 0])
+        mask_tok_out = queries[:, 1:1 + n_mask]
+        src2 = keys.transpose(1, 2).reshape(b, d, g, g)
+        up = upc1(src2)
+        up = up_ln(up.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+        up = torch.nn.functional.gelu(up)
+        up = torch.nn.functional.gelu(upc2(up))  # (b, d/8, 4g, 4g)
+        hyper = torch.stack([hypers[i](mask_tok_out[:, i]) for i in range(n_mask)], 1)
+        masks_want = torch.einsum("bmc,bchw->bmhw", hyper, up)
+
+    from instructany2pix_tpu.grounding import sam as S
+
+    def lin_t(m):
+        return {"w": np.ascontiguousarray(m.weight.detach().numpy().T),
+                "b": m.bias.detach().numpy()}
+
+    def attn_t(m):
+        return {"q": lin_t(m.q_proj), "k": lin_t(m.k_proj),
+                "v": lin_t(m.v_proj), "o": lin_t(m.out_proj)}
+
+    def ln_t(m):
+        return {"g": m.weight.detach().numpy(), "b": m.bias.detach().numpy()}
+
+    def mlp_t(seq):
+        return {f"fc{j}": lin_t(seq[2 * j]) for j in range(3)}
+
+    cfg = S.SAMConfig.tiny()
+    cfg = S.SAMConfig(
+        img_size=cfg.img_size, patch=cfg.patch, embed_dim=cfg.embed_dim,
+        depth=cfg.depth, heads=heads, window=cfg.window,
+        global_blocks=cfg.global_blocks, out_chans=d, decoder_depth=depth,
+        decoder_heads=heads, decoder_mlp=mlp_dim, num_mask_tokens=n_mask,
+    )
+    p = {
+        "iou_token": jnp.asarray(iou_tok),
+        "mask_tokens": jnp.asarray(mask_toks),
+        "final_attn": jax.tree.map(jnp.asarray, attn_t(final_attn)),
+        "final_ln": jax.tree.map(jnp.asarray, ln_t(norm_final)),
+        "up_conv1": {
+            # torch ConvTranspose2d weight (in, out, kh, kw) → HWOI
+            "w": jnp.asarray(np.ascontiguousarray(
+                upc1.weight.detach().numpy().transpose(2, 3, 1, 0)[::-1, ::-1])),
+            "b": jnp.asarray(upc1.bias.detach().numpy()),
+        },
+        "up_ln": jax.tree.map(jnp.asarray, ln_t(up_ln)),
+        "up_conv2": {
+            "w": jnp.asarray(np.ascontiguousarray(
+                upc2.weight.detach().numpy().transpose(2, 3, 1, 0)[::-1, ::-1])),
+            "b": jnp.asarray(upc2.bias.detach().numpy()),
+        },
+        "iou_head": jax.tree.map(jnp.asarray, mlp_t(iou_head)),
+    }
+    for i in range(n_mask):
+        p[f"hyper_{i}"] = jax.tree.map(jnp.asarray, mlp_t(hypers[i]))
+    for i, blk in enumerate(blocks):
+        p[f"layer_{i}"] = jax.tree.map(jnp.asarray, {
+            "self_attn": attn_t(blk.self_attn),
+            "ln1": ln_t(blk.norm1),
+            "cross_t2i": attn_t(blk.cross_t2i),
+            "ln2": ln_t(blk.norm2),
+            "fc1": lin_t(blk.lin1),
+            "fc2": lin_t(blk.lin2),
+            "ln3": ln_t(blk.norm3),
+            "cross_i2t": attn_t(blk.cross_i2t),
+            "ln4": ln_t(blk.norm4),
+        })
+
+    masks, iou = S.decoder_apply(
+        p, jnp.asarray(img_embed), jnp.asarray(img_pe), jnp.asarray(sparse), cfg
+    )
+    np.testing.assert_allclose(np.asarray(iou), iou_want.numpy(), atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(masks), masks_want.numpy(), atol=3e-5, rtol=1e-4)
