@@ -423,6 +423,10 @@ def predict_box_mask(params, cfg: SAMConfig, img: np.ndarray, box_xyxy) -> np.nd
     box = jnp.asarray(np.asarray(box_xyxy, np.float32) * scale).reshape(1, 4)
     sparse = encode_box(params["prompt"], box, cfg.img_size)
     pe = dense_pe(params["prompt"], g)
+    # no mask prompt → the official PromptEncoder's dense embedding is
+    # the broadcast no_mask_embed, ADDED to the image embedding
+    # (mask_decoder.predict_masks: src = image_embeddings + dense)
+    emb = emb + params["prompt"]["no_mask"].astype(emb.dtype)
     masks, iou = decoder_apply(params["decoder"], emb, pe, sparse, cfg)
     # multimask: pick best of tokens 1..3 (SamPredictor default)
     best = jnp.argmax(iou[0, 1:]) + 1

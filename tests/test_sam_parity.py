@@ -334,3 +334,42 @@ def test_two_way_decoder_torch_golden_parity():
     )
     np.testing.assert_allclose(np.asarray(iou), iou_want.numpy(), atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(masks), masks_want.numpy(), atol=3e-5, rtol=1e-4)
+
+
+def test_prompt_encoder_torch_golden_parity():
+    """PromptEncoder parity: PositionEmbeddingRandom fourier features,
+    box-corner embedding (+0.5 pixel offset, point_embeddings[2]/[3]),
+    dense grid pe (cumsum-0.5 semantics)."""
+    d = 16
+    rs = np.random.RandomState(4)
+    gaussian = rs.randn(2, d // 2).astype(np.float32)
+    pe2 = rs.randn(d).astype(np.float32)
+    pe3 = rs.randn(d).astype(np.float32)
+
+    # torch-mirror math (official prompt_encoder.py PositionEmbeddingRandom)
+    def t_pe(coords):
+        c = 2 * coords - 1
+        proj = c @ gaussian * (2 * np.pi)
+        return np.concatenate([np.sin(proj), np.cos(proj)], axis=-1)
+
+    img_size = 64
+    box = np.asarray([[10.0, 20.0, 40.0, 50.0]], np.float32)
+    corners = (box.reshape(1, 2, 2) + 0.5) / img_size
+    want = t_pe(corners)
+    want[:, 0] += pe2
+    want[:, 1] += pe3
+
+    from instructany2pix_tpu.grounding import sam as S
+
+    p = {"pe_gaussian": jnp.asarray(gaussian),
+         "point_embed_0": jnp.asarray(pe2), "point_embed_1": jnp.asarray(pe3)}
+    got = S.encode_box(p, jnp.asarray(box), img_size)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+
+    g = 4
+    grid = np.ones((g, g), np.float32)
+    y = grid.cumsum(0) - 0.5
+    x = grid.cumsum(1) - 0.5
+    want_pe = t_pe(np.stack([x / g, y / g], axis=-1))
+    got_pe = S.dense_pe(p, g)
+    np.testing.assert_allclose(np.asarray(got_pe), want_pe, atol=1e-5, rtol=1e-5)
