@@ -87,8 +87,15 @@ def _block(p, x, heads):
     h = L.layer_norm(p["ln1"], x)
     qkv = L.linear(p["qkv"], h)
     q, k, v = jnp.split(qkv, 3, axis=-1)
+    if "bias_k" in p:
+        # torch MultiheadAttention add_bias_kv=True (the official audio/
+        # text trunks): one learned extra key/value position
+        k = jnp.concatenate([k, jnp.broadcast_to(p["bias_k"].astype(k.dtype), (b, 1, d))], axis=1)
+        v = jnp.concatenate([v, jnp.broadcast_to(p["bias_v"].astype(v.dtype), (b, 1, d))], axis=1)
     o = dot_product_attention(
-        q.reshape(b, s, heads, hd), k.reshape(b, s, heads, hd), v.reshape(b, s, heads, hd)
+        q.reshape(b, s, heads, hd),
+        k.reshape(b, -1, heads, hd),
+        v.reshape(b, -1, heads, hd),
     )
     x = x + L.linear(p["proj"], o.reshape(b, s, d))
     h = L.layer_norm(p["ln2"], x)
@@ -266,6 +273,11 @@ def convert_from_imagebind(path_or_sd, modality: str = "vision"):
                 "w": ckpt.linear_w(sd[f"{b}.attn.out_proj.weight"]),
                 "b": sd[f"{b}.attn.out_proj.bias"],
             },
+            **(
+                {"bias_k": sd[f"{b}.attn.bias_k"].reshape(1, -1),
+                 "bias_v": sd[f"{b}.attn.bias_v"].reshape(1, -1)}
+                if f"{b}.attn.bias_k" in sd else {}
+            ),
             "ln2": {"g": sd[f"{b}.norm_2.weight"], "b": sd[f"{b}.norm_2.bias"]},
             "fc1": {
                 "w": ckpt.linear_w(sd[f"{b}.mlp.fc1.weight"]),

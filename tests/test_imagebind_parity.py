@@ -162,3 +162,96 @@ def test_audio_stem_converter_shapes():
     assert out.shape == (1, 8)
     # out_scale applied after L2 norm
     np.testing.assert_allclose(float(jnp.linalg.norm(out)), 20.0, rtol=1e-4)
+
+
+def t_imagebind_audio(sd, cfg, x):
+    """x: (B, H, W) mel. Official audio semantics: 1-ch Conv2d stem with
+    overlapping stride, token LayerNorm, cls+pos, trunk with
+    add_bias_kv=True attention (one learned extra k/v slot), head
+    LN→Linear(no bias)→L2-normalize→×20 logit scale."""
+    d, heads = cfg.width, cfg.heads
+    w = sd["modality_preprocessors.audio.audio_stem.proj.1.weight"]
+    h = F.conv2d(x.unsqueeze(1), w, stride=(cfg.stride, cfg.stride))
+    b = h.shape[0]
+    h = h.flatten(2).transpose(1, 2)
+    h = _t_ln(sd, "modality_preprocessors.audio.audio_stem.norm_layer", h)
+    cls = sd["modality_preprocessors.audio.cls_token"].expand(b, -1, -1)
+    h = torch.cat([cls, h], dim=1)
+    h = h + sd["modality_preprocessors.audio.pos_embedding_helper.pos_embed"]
+    for i in range(cfg.layers):
+        blk = f"modality_trunks.audio.blocks.{i}"
+        n = _t_ln(sd, f"{blk}.norm_1", h)
+        qkv = F.linear(n, sd[f"{blk}.attn.in_proj_weight"], sd[f"{blk}.attn.in_proj_bias"])
+        q, k, v_ = qkv.chunk(3, dim=-1)
+        k = torch.cat([k, sd[f"{blk}.attn.bias_k"].expand(b, -1, -1)], dim=1)
+        v_ = torch.cat([v_, sd[f"{blk}.attn.bias_v"].expand(b, -1, -1)], dim=1)
+        hd = d // heads
+        def sh(t):
+            return t.view(b, -1, heads, hd).transpose(1, 2)
+        a = torch.softmax(sh(q) @ sh(k).transpose(-1, -2) / np.sqrt(hd), dim=-1)
+        o = (a @ sh(v_)).transpose(1, 2).reshape(b, -1, d)
+        h = h + F.linear(o, sd[f"{blk}.attn.out_proj.weight"], sd[f"{blk}.attn.out_proj.bias"])
+        n = _t_ln(sd, f"{blk}.norm_2", h)
+        m = F.linear(n, sd[f"{blk}.mlp.fc1.weight"], sd[f"{blk}.mlp.fc1.bias"])
+        m = F.linear(F.gelu(m), sd[f"{blk}.mlp.fc2.weight"], sd[f"{blk}.mlp.fc2.bias"])
+        h = h + m
+    pooled = _t_ln(sd, "modality_heads.audio.0", h[:, 0])
+    out = F.linear(pooled, sd["modality_heads.audio.2.weight"])
+    return out / out.norm(dim=-1, keepdim=True) * 20.0
+
+
+def test_audio_converter_full_parity():
+    """Full numeric parity of the audio trunk incl. the official
+    add_bias_kv=True attention (learned extra k/v slot — previously
+    dropped by the converter; this hunt added it)."""
+    cfg = ib.ViTConfig(
+        width=32, layers=2, heads=4, patch=4, image_size=0, in_channels=1,
+        stride=2, out_dim=16, out_scale=20.0,
+    )
+    gen = torch.Generator().manual_seed(3)
+    d, mlp = cfg.width, int(cfg.width * cfg.mlp_ratio)
+    hh, ww = 12, 20
+    n_tok = ((hh - cfg.patch) // cfg.stride + 1) * ((ww - cfg.patch) // cfg.stride + 1) + 1
+    sd = {
+        "modality_preprocessors.audio.audio_stem.proj.1.weight":
+            torch.randn(d, 1, cfg.patch, cfg.patch, generator=gen) * 0.1,
+        "modality_preprocessors.audio.audio_stem.norm_layer.weight":
+            1 + 0.1 * torch.randn(d, generator=gen),
+        "modality_preprocessors.audio.audio_stem.norm_layer.bias":
+            0.1 * torch.randn(d, generator=gen),
+        "modality_preprocessors.audio.cls_token":
+            torch.randn(1, 1, d, generator=gen) * 0.1,
+        "modality_preprocessors.audio.pos_embedding_helper.pos_embed":
+            torch.randn(1, n_tok, d, generator=gen) * 0.1,
+        "modality_heads.audio.0.weight": 1 + 0.1 * torch.randn(d, generator=gen),
+        "modality_heads.audio.0.bias": 0.1 * torch.randn(d, generator=gen),
+        "modality_heads.audio.2.weight":
+            torch.randn(cfg.out_dim, d, generator=gen) * 0.1,
+    }
+    for i in range(cfg.layers):
+        b = f"modality_trunks.audio.blocks.{i}"
+        sd[f"{b}.norm_1.weight"] = 1 + 0.1 * torch.randn(d, generator=gen)
+        sd[f"{b}.norm_1.bias"] = 0.1 * torch.randn(d, generator=gen)
+        sd[f"{b}.attn.in_proj_weight"] = torch.randn(3 * d, d, generator=gen) * 0.1
+        sd[f"{b}.attn.in_proj_bias"] = 0.1 * torch.randn(3 * d, generator=gen)
+        sd[f"{b}.attn.bias_k"] = torch.randn(1, 1, d, generator=gen) * 0.1
+        sd[f"{b}.attn.bias_v"] = torch.randn(1, 1, d, generator=gen) * 0.1
+        sd[f"{b}.attn.out_proj.weight"] = torch.randn(d, d, generator=gen) * 0.1
+        sd[f"{b}.attn.out_proj.bias"] = 0.1 * torch.randn(d, generator=gen)
+        sd[f"{b}.norm_2.weight"] = 1 + 0.1 * torch.randn(d, generator=gen)
+        sd[f"{b}.norm_2.bias"] = 0.1 * torch.randn(d, generator=gen)
+        sd[f"{b}.mlp.fc1.weight"] = torch.randn(mlp, d, generator=gen) * 0.1
+        sd[f"{b}.mlp.fc1.bias"] = 0.1 * torch.randn(mlp, generator=gen)
+        sd[f"{b}.mlp.fc2.weight"] = torch.randn(d, mlp, generator=gen) * 0.1
+        sd[f"{b}.mlp.fc2.bias"] = 0.1 * torch.randn(d, generator=gen)
+
+    params = ib.convert_from_imagebind(
+        {k: v.numpy() for k, v in sd.items()}, modality="audio"
+    )
+    assert "bias_k" in params["block_0"]
+    rs = np.random.RandomState(5)
+    x = rs.randn(2, hh, ww).astype(np.float32)
+    with torch.no_grad():
+        want = t_imagebind_audio(sd, cfg, torch.from_numpy(x)).numpy()
+    got = np.asarray(ib.apply(params, jnp.asarray(x[..., None]), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
