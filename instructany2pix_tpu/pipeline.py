@@ -448,7 +448,17 @@ class InstructAny2PixPipeline:
             self.prior_tok, prompt, c.prior.text_len, c.prior_text.eos_token_id
         )
         out = clip_lib.text_apply(self.params["prior_text"], jnp.asarray(ids), c.prior_text)
-        return out["last_hidden_state"], jnp.ones(ids.shape, jnp.float32)
+        # the reference tokenizes with padding=True (batch-longest), so
+        # only the real tokens enter the prior's sequence assembly
+        # (reference prior/model.py:84-104 returns the true attention
+        # mask; "== 1 means usable token"). CLIP is causal, so masking
+        # the pad positions here is exactly equivalent.
+        eos = c.prior_text.eos_token_id
+        arr = np.asarray(ids)[0]
+        hits = np.nonzero(arr == eos)[0] if eos is not None else []
+        n = int(hits[0]) + 1 if len(hits) else arr.shape[0]
+        mask = (np.arange(arr.shape[0]) < n).astype(np.float32)[None]
+        return out["last_hidden_state"], jnp.asarray(mask)
 
     def loas_base_img(self, base_img_path):  # reference name preserved
         return self.load_base_img(base_img_path)
