@@ -48,6 +48,7 @@ def img2img(
     ip_tokens: Optional[jax.Array] = None,
     ip_tokens_uncond: Optional[jax.Array] = None,
     ip_scale: float = 1.0,
+    time_ids_uncond: Optional[jax.Array] = None,
 ) -> jax.Array:
     ts, n = img2img_timesteps(schedule, num_inference_steps, strength)
     if n == 0:
@@ -60,6 +61,7 @@ def img2img(
     eps_fn = make_cfg_eps_fn(
         unet_params, unet_cfg, ctx, ctx_uncond, pooled, pooled_uncond, time_ids,
         guidance_scale, ip_tokens, ip_tokens_uncond, ip_scale,
+        time_ids_uncond=time_ids_uncond,
     )
     return scan_denoise(eps_fn, schedule, lat, ts)
 

@@ -130,10 +130,13 @@ def make_cfg_eps_fn(
     ip_scale: float = 1.0,
     ip_step_window: Optional[Tuple[int, int]] = None,
     extra_channels: Optional[jax.Array] = None,  # inpaint mask+masked latents
+    time_ids_uncond: Optional[jax.Array] = None,
 ) -> Callable:
     """Build eps_fn wrapping the UNet with classifier-free guidance
     (uncond first, diffusers order), optional IP tokens with a step
-    window, and optional per-step channel concat (inpainting)."""
+    window, and optional per-step channel concat (inpainting).
+    `time_ids_uncond` covers the refiner's aesthetic-score asymmetry
+    (diffusers _get_add_time_ids: 6.0 cond / 2.5 uncond)."""
     do_cfg = guidance_scale > 1.0
     mult = 2 if do_cfg else 1
 
@@ -142,7 +145,10 @@ def make_cfg_eps_fn(
 
     ctx2 = dup(ctx, ctx_uncond)
     pooled2 = dup(pooled, pooled_uncond)
-    tid2 = jnp.tile(time_ids, (mult, 1))
+    if do_cfg and time_ids_uncond is not None:
+        tid2 = jnp.concatenate([time_ids_uncond, time_ids], axis=0)
+    else:
+        tid2 = jnp.tile(time_ids, (mult, 1))
     if ip_tokens is not None:
         ipu = (
             ip_tokens_uncond

@@ -580,8 +580,12 @@ class InstructAny2PixPipeline:
             )
             o2n = clip_lib.text_apply(self.params["text2"], jnp.asarray(ids2n), c.text2)
             # refiner time ids include the aesthetic score as 5th entry
+            # (diffusers _get_add_time_ids: 6.0 cond / 2.5 uncond)
             rtid = jnp.asarray(
                 [[c.image_size, c.image_size, 0, 0, 6.0]], jnp.float32
+            )
+            rtid_u = jnp.asarray(
+                [[c.image_size, c.image_size, 0, 0, 2.5]], jnp.float32
             )
             rlat = vae_lib.encode(
                 self.params["vae"], jnp.asarray(image_io.to_model_range(non_refined))[None],
@@ -595,6 +599,7 @@ class InstructAny2PixPipeline:
                 # reference calls the refiner with diffusers defaults
                 # (pipeline.py:358-359) → img2img guidance 5.0, not `cfg`
                 guidance_scale=5.0,
+                time_ids_uncond=rtid_u,
             )
             rimg = vae_lib.decode(self.params["vae"], rlat, c.vae)
             oo = image_io.from_model_range(np.asarray(rimg[0]))

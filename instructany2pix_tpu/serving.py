@@ -504,6 +504,10 @@ class PipelineServer:
                 jnp.asarray([[c.image_size, c.image_size, 0, 0, 6.0]], jnp.float32),
                 (b, 1),
             )
+            rtid_u = jnp.tile(
+                jnp.asarray([[c.image_size, c.image_size, 0, 0, 2.5]], jnp.float32),
+                (b, 1),
+            )
             enc_keys = jnp.stack([_jax.random.key(reqs[i].seed + 2) for i in live])
             noise_keys2 = jnp.stack([_jax.random.key(reqs[i].seed + 3) for i in live])
             rlat = vae_lib.encode(pipe.params["vae"], dec, key=enc_keys, cfg=c.vae)
@@ -512,8 +516,10 @@ class PipelineServer:
                 noise_keys2, rctx, rctx_u, rpooled, rpooled_u, rtid,
                 num_inference_steps=steps, strength=refinement,
                 # reference calls the refiner with diffusers img2img
-                # defaults -> guidance 5.0 (pipeline.py:358-359)
+                # defaults -> guidance 5.0 (pipeline.py:358-359),
+                # negative aesthetic score 2.5 on the uncond half
                 guidance_scale=5.0,
+                time_ids_uncond=rtid_u,
             )
             dec = vae_lib.decode(pipe.params["vae"], rlat, c.vae)
 
