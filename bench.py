@@ -212,7 +212,11 @@ def main():
     log(f"  sdxl-stack init: {time.perf_counter() - t0:.1f}s")
     schedule = Schedule.create(SchedulerConfig())
 
-    size, lat_hw, steps = 512, 64, 50
+    # IA2P_BENCH_SIZE=1024 measures the reference's NATIVE resolution
+    # (pipeline loads 1024x1024 center crops, pipeline.py:41-88); the
+    # default 512 is the BASELINE.json north-star config
+    size = int(os.environ.get("IA2P_BENCH_SIZE", "512"))
+    lat_hw, steps = size // 8, 50
 
     # ---------------------------------------------------- text encode stage
     ids1 = jnp.ones((1, 77), jnp.int32)
@@ -270,11 +274,11 @@ def main():
 
     src_lat = vae_enc(vae_p, img)
     sync(src_lat)
-    t_enc = time_once(vae_enc, vae_p, img, label="vae encode 512²", t_sync=t_sync)
+    t_enc = time_once(vae_enc, vae_p, img, label=f"vae encode {size}²", t_sync=t_sync)
     lat0 = jax.random.normal(jax.random.key(22), (1, lat_hw, lat_hw, 4), jnp.bfloat16)
     dec = vae_dec(vae_p, lat0)
     sync(dec)
-    t_dec = time_once(vae_dec, vae_p, lat0, label="vae decode 512²", t_sync=t_sync)
+    t_dec = time_once(vae_dec, vae_p, lat0, label=f"vae decode {size}²", t_sync=t_sync)
     # encode x2 (inversion, refiner input) + decode x2 (denoise, refiner)
     stage_s["vae"] = 2 * t_enc + 2 * t_dec
 
@@ -358,7 +362,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "e2e_50step_512px_edit_latency",
+                "metric": f"e2e_50step_{size}px_edit_latency",
                 "value": round(total, 3),
                 "unit": "s",
                 "vs_baseline": round(2.0 / total, 3),

@@ -192,3 +192,182 @@ class TestVQGANAdversarial:
             perceptual_fn=lambda im: im.mean(axis=-1),
         )
         assert "perceptual_loss" in aux
+
+
+def test_vqgan_taming_torch_golden_parity(rng):
+    """Full taming-VQModel golden parity: torch Encoder/Decoder/
+    VectorQuantizer hand-built per the official taming-transformers
+    layer definitions (the stack reference image_vqvae.py:16-66 vendors)
+    vs encode_z → quantize → decode_z through `convert_from_taming`.
+    Covers swish+GroupNorm(eps 1e-6) blocks, 1×1-conv attention at the
+    configured level AND the mid blocks, asymmetric (0,1,0,1) downsample
+    padding, nearest-upsample decoder with mirrored up.{lvl} indexing,
+    and the embed→z post_quant_conv."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    cfg = vqgan.VQConfig.tiny()
+    g = cfg.norm_groups
+
+    def norm(c):
+        return nn.GroupNorm(g, c, eps=1e-6)
+
+    def swish(x):
+        return x * torch.sigmoid(x)
+
+    class Res(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.norm1, self.conv1 = norm(cin), nn.Conv2d(cin, cout, 3, padding=1)
+            self.norm2, self.conv2 = norm(cout), nn.Conv2d(cout, cout, 3, padding=1)
+            self.nin_shortcut = nn.Conv2d(cin, cout, 1) if cin != cout else None
+
+        def forward(self, x):
+            h = self.conv1(swish(self.norm1(x)))
+            h = self.conv2(swish(self.norm2(h)))
+            if self.nin_shortcut is not None:
+                x = self.nin_shortcut(x)
+            return x + h
+
+    class Attn(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.norm = norm(c)
+            self.q, self.k, self.v = (nn.Conv2d(c, c, 1) for _ in range(3))
+            self.proj_out = nn.Conv2d(c, c, 1)
+
+        def forward(self, x):
+            b, c, hh, ww = x.shape
+            y = self.norm(x)
+            q = self.q(y).reshape(b, c, -1).permute(0, 2, 1)
+            k = self.k(y).reshape(b, c, -1)
+            v = self.v(y).reshape(b, c, -1)
+            a = torch.softmax(q @ k / c ** 0.5, dim=-1)
+            o = (v @ a.permute(0, 2, 1)).reshape(b, c, hh, ww)
+            return x + self.proj_out(o)
+
+    class Model(nn.Module):
+        def __init__(self):
+            super().__init__()
+            ch = cfg.base_ch
+            chans = [ch * m for m in cfg.ch_mult]
+            # ---- encoder
+            self.e_conv_in = nn.Conv2d(cfg.in_channels, ch, 3, padding=1)
+            self.e_blocks = nn.ModuleList()
+            self.e_attns = nn.ModuleList()
+            self.e_downs = nn.ModuleList()
+            cin = ch
+            for i, cout in enumerate(chans):
+                blocks, attns = nn.ModuleList(), nn.ModuleList()
+                c = cin
+                for _ in range(cfg.num_res_blocks):
+                    blocks.append(Res(c, cout)); c = cout
+                    attns.append(Attn(cout) if i in cfg.attn_levels else nn.Identity())
+                self.e_blocks.append(blocks); self.e_attns.append(attns)
+                self.e_downs.append(
+                    nn.Conv2d(cout, cout, 3, stride=2) if i < len(chans) - 1 else nn.Identity())
+                cin = cout
+            self.e_mid1, self.e_midattn, self.e_mid2 = Res(cin, cin), Attn(cin), Res(cin, cin)
+            self.e_norm_out = norm(cin)
+            self.e_conv_out = nn.Conv2d(cin, cfg.z_channels, 3, padding=1)
+            self.quant_conv = nn.Conv2d(cfg.z_channels, cfg.embed_dim, 1)
+            self.embedding = nn.Embedding(cfg.n_embed, cfg.embed_dim)
+            self.post_quant_conv = nn.Conv2d(cfg.embed_dim, cfg.z_channels, 1)
+            # ---- decoder
+            self.d_conv_in = nn.Conv2d(cfg.z_channels, cin, 3, padding=1)
+            self.d_mid1, self.d_midattn, self.d_mid2 = Res(cin, cin), Attn(cin), Res(cin, cin)
+            self.d_blocks, self.d_attns, self.d_ups = (
+                nn.ModuleList(), nn.ModuleList(), nn.ModuleList())
+            for idx, cout in enumerate(reversed(chans)):
+                lvl = len(chans) - 1 - idx
+                blocks, attns = nn.ModuleList(), nn.ModuleList()
+                c = cin
+                for _ in range(cfg.num_res_blocks + 1):
+                    blocks.append(Res(c, cout)); c = cout
+                    attns.append(Attn(cout) if lvl in cfg.attn_levels else nn.Identity())
+                self.d_blocks.append(blocks); self.d_attns.append(attns)
+                self.d_ups.append(
+                    nn.Conv2d(cout, cout, 3, padding=1) if idx < len(chans) - 1 else nn.Identity())
+                cin = cout
+            self.d_norm_out = norm(cin)
+            self.d_conv_out = nn.Conv2d(cin, cfg.in_channels, 3, padding=1)
+
+        def forward(self, x):
+            h = self.e_conv_in(x)
+            for i in range(len(self.e_blocks)):
+                for blk, at in zip(self.e_blocks[i], self.e_attns[i]):
+                    h = at(blk(h))
+                if not isinstance(self.e_downs[i], nn.Identity):
+                    h = F.pad(h, (0, 1, 0, 1))
+                    h = self.e_downs[i](h)
+            h = self.e_mid2(self.e_midattn(self.e_mid1(h)))
+            z = self.quant_conv(self.e_conv_out(swish(self.e_norm_out(h))))
+            # quantize
+            b, c, hh, ww = z.shape
+            flat = z.permute(0, 2, 3, 1).reshape(-1, c)
+            dists = (flat ** 2).sum(1, keepdim=True) - 2 * flat @ self.embedding.weight.T \
+                + (self.embedding.weight ** 2).sum(1)[None]
+            idx = dists.argmin(1)
+            zq = self.embedding(idx).reshape(b, hh, ww, c).permute(0, 3, 1, 2)
+            # decode
+            h = self.d_conv_in(self.post_quant_conv(zq))
+            h = self.d_mid2(self.d_midattn(self.d_mid1(h)))
+            for i in range(len(self.d_blocks)):
+                for blk, at in zip(self.d_blocks[i], self.d_attns[i]):
+                    h = at(blk(h))
+                if not isinstance(self.d_ups[i], nn.Identity):
+                    h = F.interpolate(h, scale_factor=2.0, mode="nearest")
+                    h = self.d_ups[i](h)
+            return self.d_conv_out(swish(self.d_norm_out(h))), idx, z
+
+    torch.manual_seed(0)
+    tm = Model().eval()
+
+    # emit the taming state-dict naming from the torch modules
+    sd = {}
+    m = tm.state_dict()
+    ren = {
+        "e_conv_in": "encoder.conv_in", "e_norm_out": "encoder.norm_out",
+        "e_conv_out": "encoder.conv_out", "e_mid1": "encoder.mid.block_1",
+        "e_midattn": "encoder.mid.attn_1", "e_mid2": "encoder.mid.block_2",
+        "d_conv_in": "decoder.conv_in", "d_norm_out": "decoder.norm_out",
+        "d_conv_out": "decoder.conv_out", "d_mid1": "decoder.mid.block_1",
+        "d_midattn": "decoder.mid.attn_1", "d_mid2": "decoder.mid.block_2",
+        "quant_conv": "quant_conv", "post_quant_conv": "post_quant_conv",
+        "embedding": "quantize.embedding",
+    }
+    import re as _re
+    for k, v in m.items():
+        k2 = k
+        for a, b2 in ren.items():
+            if k2.startswith(a + "."):
+                k2 = b2 + k2[len(a):]
+                break
+        k2 = _re.sub(r"e_blocks\.(\d+)\.(\d+)\.", r"encoder.down.\1.block.\2.", k2)
+        k2 = _re.sub(r"e_attns\.(\d+)\.(\d+)\.", r"encoder.down.\1.attn.\2.", k2)
+        k2 = _re.sub(r"e_downs\.(\d+)\.", r"encoder.down.\1.downsample.conv.", k2)
+        def up_lvl(mm):
+            return f"decoder.up.{len(cfg.ch_mult) - 1 - int(mm.group(1))}"
+        k2 = _re.sub(r"d_blocks\.(\d+)\.(\d+)\.",
+                     lambda mm: f"decoder.up.{len(cfg.ch_mult)-1-int(mm.group(1))}.block.{mm.group(2)}.", k2)
+        k2 = _re.sub(r"d_attns\.(\d+)\.(\d+)\.",
+                     lambda mm: f"decoder.up.{len(cfg.ch_mult)-1-int(mm.group(1))}.attn.{mm.group(2)}.", k2)
+        k2 = _re.sub(r"d_ups\.(\d+)\.",
+                     lambda mm: f"decoder.up.{len(cfg.ch_mult)-1-int(mm.group(1))}.upsample.conv.", k2)
+        sd[k2] = v.numpy()
+
+    params = vqgan.convert_from_taming(sd, cfg)
+    rs = np.random.RandomState(3)
+    x = rs.randn(2, 8, 8, cfg.in_channels).astype(np.float32)
+    with torch.no_grad():
+        want, want_idx, want_z = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    z = vqgan.encode_z(params, jnp.asarray(x), cfg)
+    np.testing.assert_allclose(
+        np.asarray(z), want_z.permute(0, 2, 3, 1).numpy(), atol=3e-5, rtol=1e-4)
+    zq, idx, _ = vqgan.quantize(params, z)
+    np.testing.assert_array_equal(np.asarray(idx).reshape(-1), want_idx.numpy())
+    recon = vqgan.decode_z(params, zq, cfg)
+    np.testing.assert_allclose(
+        np.asarray(recon), want.permute(0, 2, 3, 1).numpy(), atol=3e-5, rtol=1e-4)
