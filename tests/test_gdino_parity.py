@@ -357,3 +357,118 @@ def test_decoder_layer_torch_golden_parity():
     np.testing.assert_allclose(np.asarray(got_q), want_q, atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(
         np.asarray(got_boxes), want_boxes.numpy(), atol=3e-5, rtol=1e-4)
+
+
+def test_encoder_layer_torch_golden_parity():
+    """Encoder-layer glue golden parity: official
+    DeformableTransformerEncoderLayer (deformable self-attn with
+    with_pos_embed query + per-token grid reference points, norm after
+    residual, FFN with post-norm) and the text enhancer layer (MHA with
+    sine pos on q/k, key_padding_mask) vs the encoder loop body in
+    `gdino.forward`."""
+    import torch.nn as nn
+
+    d, heads, points = 16, 2, 2
+    shapes = [(4, 4), (2, 2)]
+    levels = len(shapes)
+    nv = sum(h * w for h, w in shapes)
+    b, nl, ffn = 2, 5, 32
+
+    torch.manual_seed(1)
+    value_proj = nn.Linear(d, d)
+    sampling_offsets = nn.Linear(d, heads * levels * points * 2)
+    attention_weights = nn.Linear(d, heads * levels * points)
+    output_proj = nn.Linear(d, d)
+    norm1 = nn.LayerNorm(d)
+    lin1, lin2 = nn.Linear(d, ffn), nn.Linear(ffn, d)
+    norm2 = nn.LayerNorm(d)
+    t_attn = nn.MultiheadAttention(d, heads, batch_first=True).eval()
+    t_norm1 = nn.LayerNorm(d)
+    t_lin1, t_lin2 = nn.Linear(d, ffn // 2), nn.Linear(ffn // 2, d)
+    t_norm2 = nn.LayerNorm(d)
+
+    rs = np.random.RandomState(6)
+    img = torch.from_numpy(rs.randn(b, nv, d).astype(np.float32))
+    img_pos = torch.from_numpy(rs.randn(1, nv, d).astype(np.float32))
+    txt = torch.from_numpy(rs.randn(b, nl, d).astype(np.float32))
+    txt_pos = torch.from_numpy(rs.randn(1, nl, d).astype(np.float32))
+    valid = np.ones((b, nl), bool); valid[0, 4:] = False
+
+    # per-token grid-center reference points (what gdino.forward builds)
+    refs = []
+    for h, w in shapes:
+        ys = (np.arange(h) + 0.5) / h
+        xs = (np.arange(w) + 0.5) / w
+        gx, gy = np.meshgrid(xs, ys)
+        refs.append(np.stack([gx, gy], -1).reshape(-1, 2))
+    ref = torch.from_numpy(
+        np.tile(np.concatenate(refs, 0)[None], (b, 1, 1)).astype(np.float32))
+
+    with torch.no_grad():
+        q_c = img + img_pos
+        v = value_proj(img).view(b, nv, heads, d // heads)
+        offs = sampling_offsets(q_c).view(b, nv, heads, levels, points, 2)
+        wts = attention_weights(q_c).view(b, nv, heads, levels * points)
+        wts = wts.softmax(-1).view(b, nv, heads, levels, points)
+        normalizer = torch.tensor([[w, h] for h, w in shapes], dtype=torch.float32)
+        locs = ref[:, :, None, None, None, :] + offs / normalizer[None, None, None, :, None, :]
+        core = t_ms_deform_attn_core(v, shapes, locs, wts)
+        src = norm1(img + output_proj(core))
+        src = norm2(src + lin2(torch.relu(lin1(src))))
+        tq = txt + txt_pos
+        t2 = t_attn(tq, tq, txt, key_padding_mask=torch.from_numpy(~valid),
+                    need_weights=False)[0]
+        out_t = t_norm1(txt + t2)
+        out_t = t_norm2(out_t + t_lin2(torch.relu(t_lin1(out_t))))
+
+    def lin_t(m):
+        return {"w": np.ascontiguousarray(m.weight.detach().numpy().T),
+                "b": m.bias.detach().numpy()}
+
+    def ln_t(m):
+        return {"g": m.weight.detach().numpy(), "b": m.bias.detach().numpy()}
+
+    W = t_attn.in_proj_weight.detach().numpy()
+    B = t_attn.in_proj_bias.detach().numpy()
+    p = jax.tree.map(jnp.asarray, {
+        "img_deform": {
+            "value_proj": lin_t(value_proj),
+            "sampling_offsets": lin_t(sampling_offsets),
+            "attn_weights": lin_t(attention_weights),
+            "out_proj": lin_t(output_proj),
+        },
+        "img_ln": ln_t(norm1),
+        "img_ffn": {"fc1": lin_t(lin1), "fc2": lin_t(lin2), "ln": ln_t(norm2)},
+        "txt_attn": {
+            "q": {"w": np.ascontiguousarray(W[:d].T), "b": B[:d]},
+            "k": {"w": np.ascontiguousarray(W[d:2*d].T), "b": B[d:2*d]},
+            "v": {"w": np.ascontiguousarray(W[2*d:].T), "b": B[2*d:]},
+            "o": lin_t(t_attn.out_proj),
+        },
+        "txt_ln": ln_t(t_norm1),
+        "txt_ffn": {"fc1": lin_t(t_lin1), "fc2": lin_t(t_lin2), "ln": ln_t(t_norm2)},
+    })
+
+    # our encoder body (gdino.forward lines: deformable self-attn then
+    # _ffn; text mha then _ffn)
+    from instructany2pix_tpu.grounding.gdino import _ffn, _mha, deformable_attention
+    import instructany2pix_tpu.models.layers as L
+
+    img_j = jnp.asarray(img.numpy())
+    got_img = L.layer_norm(
+        p["img_ln"],
+        img_j + deformable_attention(
+            p["img_deform"], img_j + jnp.asarray(img_pos.numpy()),
+            jnp.asarray(ref.numpy()), img_j, shapes, heads, points,
+        ),
+    )
+    got_img = _ffn(p["img_ffn"], got_img)
+    txt_j = jnp.asarray(txt.numpy())
+    tq_j = txt_j + jnp.asarray(txt_pos.numpy())
+    got_txt = L.layer_norm(
+        p["txt_ln"], txt_j + _mha(p["txt_attn"], tq_j, tq_j, txt_j, heads,
+                                  mask=jnp.asarray(valid)))
+    got_txt = _ffn(p["txt_ffn"], got_txt)
+
+    np.testing.assert_allclose(np.asarray(got_img), src.numpy(), atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_txt), out_t.numpy(), atol=3e-5, rtol=1e-4)
