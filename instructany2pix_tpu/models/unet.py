@@ -230,9 +230,32 @@ def _tblock_init(kc, dim, ctx_dim, heads, with_ip):
 
 
 def _tblock(p, x, ctx, heads, ip_tokens, ip_scale, taps=None, tap_key=None,
-            kv_pre=None):
+            kv_pre=None, pnp_share_qk=False):
     h = L.layer_norm(p["norm1"], x)
-    x = x + _attn(p["attn1"], h, h, heads)
+    if pnp_share_qk:
+        # plug-and-play structural injection (the working version of the
+        # reference's stubbed SDXLPNPPipeline feature_bags,
+        # ddim/pnp_pipeline.py:281-530): every batch row attends with the
+        # SOURCE row's self-attention Q/K (row 0), values stay per-row —
+        # the edit follows the source's spatial structure
+        b, s, d = h.shape
+        hd = d // heads
+        a1 = p["attn1"]
+        if "to_qkv" in a1:
+            q, k, v = jnp.split(L.linear(a1["to_qkv"], h), 3, axis=-1)
+        else:
+            q = L.linear(a1["to_q"], h)
+            k = L.linear(a1["to_k"], h)
+            v = L.linear(a1["to_v"], h)
+        q = q.reshape(b, s, heads, hd)
+        k = k.reshape(b, s, heads, hd)
+        v = v.reshape(b, s, heads, hd)
+        q = jnp.broadcast_to(q[:1], q.shape)
+        k = jnp.broadcast_to(k[:1], k.shape)
+        o = dot_product_attention(q, k, v).reshape(b, s, d)
+        x = x + L.linear(p["attn1"]["to_out"], o)
+    else:
+        x = x + _attn(p["attn1"], h, h, heads)
     h = L.layer_norm(p["norm2"], x)
     x = x + _attn(p["attn2"], h, ctx, heads, ip_tokens, ip_scale, taps, tap_key,
                   kv_pre=kv_pre)
@@ -256,7 +279,7 @@ def _transformer_init(kc, c, ctx_dim, heads, depth, with_ip, use_linear):
 
 def _transformer(
     p, x, ctx, heads, depth, groups, use_linear, ip_tokens, ip_scale,
-    taps=None, tap_prefix="", kv_tree=None,
+    taps=None, tap_prefix="", kv_tree=None, pnp_share_qk=False,
 ):
     b, hh, ww, c = x.shape
     res = x
@@ -273,6 +296,7 @@ def _transformer(
             p[f"block_{i}"], h, ctx, heads, ip_tokens, ip_scale,
             taps, f"{tap_prefix}.block_{i}" if taps is not None else None,
             kv_pre=kv_tree[f"block_{i}"] if kv_tree is not None else None,
+            pnp_share_qk=pnp_share_qk,
         )
     if use_linear:
         h = L.linear(p["proj_out"], h).reshape(b, hh, ww, c)
@@ -492,6 +516,7 @@ def apply(
     ip_scale: float = 1.0,
     capture_ip_attn: bool = False,
     cross_kv: Optional[dict] = None,  # precompute_cross_kv output
+    pnp_share_qk: bool = False,  # up-block self-attn rows share row 0's Q/K
 ) -> jax.Array:
     """When `capture_ip_attn` is set, returns `(eps, taps)` where taps
     maps layer paths → IP attention probs (B, heads, S_pixels, n_ip) —
@@ -599,6 +624,7 @@ def apply(
                     taps,
                     f"up_{i}.attn_{j}",
                     kv_tree=cross_kv[f"up_{i}"][f"attn_{j}"] if cross_kv else None,
+                    pnp_share_qk=pnp_share_qk,
                 )
         if "up" in blk:
             h = L.upsample2x_nearest(h)

@@ -196,3 +196,53 @@ def test_polar_interpolate_and_mix(rng):
         jnp.ones((1, 8)), jnp.ones((1, 8)) * 2, jnp.ones((1, 8)) * 0.1, (0.0, 0.4, 1.0), 20.0
     )
     assert abs(float(jnp.linalg.norm(la, axis=-1)[0]) - 20.0) < 1e-4
+
+
+def test_pnp_share_qk_and_denoise(rng):
+    """Plug-and-play structural injection: `pnp_share_qk` makes every
+    row's up-block self-attention use row 0's Q/K (exactness checked by
+    duplicating rows), and `pnp_denoise` runs the 3-row scan end to end
+    (the reference's SDXLPNPPipeline is a stub — this is the working
+    counterpart)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instructany2pix_tpu.diffusion import pnp
+    from instructany2pix_tpu.diffusion.schedulers import Schedule, SchedulerConfig
+    from instructany2pix_tpu.models import unet as unet_lib
+
+    cfg = unet_lib.UNetConfig.tiny()
+    params = unet_lib.init(rng, cfg)
+    lat = jax.random.normal(jax.random.key(1), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(2), (2, 7, cfg.cross_attention_dim))
+    pooled = jax.random.normal(jax.random.key(3), (2, cfg.pooled_dim))
+    tid = jnp.ones((2, 6))
+    t = jnp.zeros((2,), jnp.int32)
+    kw = dict(pooled_text=pooled, time_ids=tid)
+
+    # identical rows → sharing row-0 Q/K is a no-op (exactness)
+    lat_same = jnp.tile(lat[:1], (2, 1, 1, 1))
+    ctx_same = jnp.tile(ctx[:1], (2, 1, 1))
+    kw_same = dict(pooled_text=jnp.tile(pooled[:1], (2, 1)), time_ids=tid)
+    a = unet_lib.apply(params, lat_same, t, ctx_same, cfg, **kw_same)
+    b = unet_lib.apply(params, lat_same, t, ctx_same, cfg, pnp_share_qk=True,
+                       **kw_same)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+    # different rows → row 1 changes when structure-injected
+    c = unet_lib.apply(params, lat, t, ctx, cfg, **kw)
+    d = unet_lib.apply(params, lat, t, ctx, cfg, pnp_share_qk=True, **kw)
+    assert not np.allclose(np.asarray(c[1]), np.asarray(d[1]))
+    # ...but row 0 (the source) is untouched by the sharing
+    np.testing.assert_allclose(np.asarray(c[0]), np.asarray(d[0]), atol=1e-5,
+                               rtol=1e-5)
+
+    sched = Schedule.create(SchedulerConfig())
+    out = pnp.pnp_denoise(
+        params, cfg, sched, lat[:1], ctx[1:2], ctx[0:1], ctx[0:1],
+        pooled[1:2], pooled[0:1], pooled[0:1], tid[:1],
+        num_inference_steps=3, guidance_scale=4.0, injection_ratio=0.7,
+    )
+    assert out.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
