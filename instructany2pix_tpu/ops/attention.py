@@ -62,11 +62,12 @@ def dot_product_attention(
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
 
-    # Measured crossover on v5e at d=64 (BASELINE.md r2): flash wins at
-    # 256 tokens (233 vs 379 µs) and from 2048 up (XLA falls off a cliff
-    # at ≥4096: 2.9 vs 9.5 ms); XLA wins the 512-1024 window (its fused
-    # softmax beats the kernel while everything still fits VMEM-friendly
-    # tiles).
+    # Measured on v5e at d=64 with 512/1024 blocks (BASELINE.md r2):
+    # flash wins at 256 tokens and 2.1-2.5× from 2048 up (2048: 556 vs
+    # 1160 µs; 4096: 1.55 vs 3.85 ms = 55.5 vs 22.2 TFLOP/s); isolated
+    # micro ties at 512-1024 but the fused XLA softmax still edges it
+    # in-graph there (512² e2e A/B: 3.797 vs 3.833 s), so that window
+    # stays on XLA.
     use_flash = impl == "flash" or (
         impl == "auto"
         and _tpu_available()

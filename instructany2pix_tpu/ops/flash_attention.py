@@ -28,8 +28,13 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+# r2 sweep at (2,10,4096,64) on v5e: 512/1024 blocks run 55.5 TFLOP/s
+# vs 28.0 for 256/256 and 22.2 for the XLA path (BASELINE.md r2) —
+# bigger q blocks amortize the online-softmax rescale, bigger k blocks
+# lengthen the MXU contractions; the kernel clamps both to the padded
+# sequence length for short inputs
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
 
 
