@@ -43,6 +43,10 @@ class LlamaConfig:
     tie_embeddings: bool = False
     remat: bool = False  # jax.checkpoint each block (reference grad
     # checkpointing, train.py:789-795 / scripts/train.sh:46)
+    # remat policy: "full" recomputes everything (min memory);
+    # "dots" saves matmul outputs and recomputes only elementwise
+    # (≈fwd-FLOP savings in backward at ~2 bytes/act-element memory)
+    remat_policy: str = "full"
 
     @property
     def head_dim(self) -> int:
@@ -274,8 +278,14 @@ def forward(
             new_v.append(cv)
         else:
             if cfg.remat:
+                policy = (
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                    if cfg.remat_policy == "dots"
+                    else jax.checkpoint_policies.nothing_saveable
+                )
                 x, _ = jax.checkpoint(
-                    lambda p, x: _block(p, x, positions, cfg, attention_mask)
+                    lambda p, x: _block(p, x, positions, cfg, attention_mask),
+                    policy=policy,
                 )(params[f"layer_{i}"], x)
             else:
                 x, _ = _block(params[f"layer_{i}"], x, positions, cfg, attention_mask)
