@@ -70,12 +70,15 @@ def _block_init(kc, dim, heads, window, mlp):
 def _window_attn(p, x, heads, window, shift, rel_idx):
     b, hh, ww, d = x.shape
     hd = d // heads
-    if shift:
-        x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+    # official Swin order for non-divisible resolutions: PAD first, then
+    # cyclic-shift the padded canvas (the shift mask's slice structure
+    # is built for that layout); reversed on the way out
     pad_h = (window - hh % window) % window
     pad_w = (window - ww % window) % window
     xp = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     hp, wp = hh + pad_h, ww + pad_w
+    if shift:
+        xp = jnp.roll(xp, (-shift, -shift), axis=(1, 2))
     xw = xp.reshape(b, hp // window, window, wp // window, window, d)
     xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window * window, d)
 
@@ -110,10 +113,9 @@ def _window_attn(p, x, heads, window, shift, rel_idx):
     o = L.linear(p["proj"], o)
     o = o.reshape(b, hp // window, wp // window, window, window, d)
     o = o.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, d)
-    o = o[:, :hh, :ww]
     if shift:
         o = jnp.roll(o, (shift, shift), axis=(1, 2))
-    return o
+    return o[:, :hh, :ww]
 
 
 def init(key, cfg: SwinConfig = SwinConfig()):

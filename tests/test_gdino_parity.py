@@ -472,3 +472,125 @@ def test_encoder_layer_torch_golden_parity():
 
     np.testing.assert_allclose(np.asarray(got_img), src.numpy(), atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got_txt), out_t.numpy(), atol=3e-5, rtol=1e-4)
+
+
+def test_swin_block_nondivisible_torch_golden_parity():
+    """Swin block golden parity at a NON-window-divisible resolution
+    (the 800px GDINO case: every stage needs padding) incl. a shifted
+    block — validates the official pad-THEN-roll order, the padded-canvas
+    shift mask, relative position bias indexing, and the unroll-then-crop
+    exit. (This hunt FIXED a roll-before-pad ordering bug.)"""
+    import torch.nn as nn
+
+    d, heads, window, shift = 16, 2, 7, 3
+    H, W, b = 10, 13, 2
+    hd = d // heads
+
+    class TWinAttn(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.qkv = nn.Linear(d, 3 * d)
+            self.proj = nn.Linear(d, d)
+            self.bias_table = nn.Parameter(
+                torch.randn((2 * window - 1) ** 2, heads) * 0.1)
+            coords = torch.stack(torch.meshgrid(
+                torch.arange(window), torch.arange(window), indexing="ij"))
+            flat = torch.flatten(coords, 1)
+            rel = flat[:, :, None] - flat[:, None, :]
+            rel = rel.permute(1, 2, 0).contiguous()
+            rel[:, :, 0] += window - 1
+            rel[:, :, 1] += window - 1
+            rel[:, :, 0] *= 2 * window - 1
+            self.register_buffer("rel_idx", rel.sum(-1))
+
+        def forward(self, xw, mask):
+            nb, n, _ = xw.shape
+            qkv = self.qkv(xw).reshape(nb, n, 3, heads, hd).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q * hd ** -0.5) @ k.transpose(-2, -1)
+            bias = self.bias_table[self.rel_idx.view(-1)].view(n, n, heads)
+            attn = attn + bias.permute(2, 0, 1)[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.view(nb // nw, nw, heads, n, n) + mask[None, :, None]
+                attn = attn.view(nb, heads, n, n)
+            attn = attn.softmax(dim=-1)
+            return self.proj((attn @ v).transpose(1, 2).reshape(nb, n, d))
+
+    def t_window_partition(x, w):
+        B, Hp, Wp, C = x.shape
+        x = x.view(B, Hp // w, w, Wp // w, w, C)
+        return x.permute(0, 1, 3, 2, 4, 5).contiguous().view(-1, w * w, C)
+
+    class TBlock(nn.Module):
+        def __init__(self, s):
+            super().__init__()
+            self.s = s
+            self.norm1 = nn.LayerNorm(d)
+            self.attn = TWinAttn()
+            self.norm2 = nn.LayerNorm(d)
+            self.fc1, self.fc2 = nn.Linear(d, 2 * d), nn.Linear(2 * d, d)
+
+        def forward(self, x):
+            B = x.shape[0]
+            shortcut = x
+            y = self.norm1(x)
+            pad_h = (window - H % window) % window
+            pad_w = (window - W % window) % window
+            y = torch.nn.functional.pad(y, (0, 0, 0, pad_w, 0, pad_h))
+            Hp, Wp = H + pad_h, W + pad_w
+            mask = None
+            if self.s:
+                y = torch.roll(y, (-self.s, -self.s), dims=(1, 2))
+                img_mask = torch.zeros(1, Hp, Wp, 1)
+                cnt = 0
+                for hs in (slice(0, -window), slice(-window, -self.s), slice(-self.s, None)):
+                    for ws in (slice(0, -window), slice(-window, -self.s), slice(-self.s, None)):
+                        img_mask[:, hs, ws, :] = cnt
+                        cnt += 1
+                mw = t_window_partition(img_mask, window).view(-1, window * window)
+                mask = mw[:, None] - mw[:, :, None]
+                mask = mask.masked_fill(mask != 0, -100.0).masked_fill(mask == 0, 0.0)
+            yw = t_window_partition(y, window)
+            o = self.attn(yw, mask)
+            o = o.view(-1, Hp // window, Wp // window, window, window, d)
+            o = o.permute(0, 1, 3, 2, 4, 5).contiguous().view(B, Hp, Wp, d)
+            if self.s:
+                o = torch.roll(o, (self.s, self.s), dims=(1, 2))
+            o = o[:, :H, :W]
+            x = shortcut + o
+            return x + self.fc2(torch.nn.functional.gelu(self.fc1(self.norm2(x))))
+
+    from instructany2pix_tpu.grounding import swin as SW
+    import instructany2pix_tpu.models.layers as L
+
+    rel_idx = SW._rel_index(window)
+    rs = np.random.RandomState(8)
+    x = rs.randn(b, H, W, d).astype(np.float32)
+
+    for s in (0, shift):
+        torch.manual_seed(10 + s)
+        tb = TBlock(s).eval()
+        with torch.no_grad():
+            want = tb(torch.from_numpy(x)).numpy()
+
+        def lin_t(m):
+            return {"w": np.ascontiguousarray(m.weight.detach().numpy().T),
+                    "b": m.bias.detach().numpy()}
+
+        p = jax.tree.map(jnp.asarray, {
+            "ln1": {"g": tb.norm1.weight.detach().numpy(), "b": tb.norm1.bias.detach().numpy()},
+            "qkv": lin_t(tb.attn.qkv),
+            "proj": lin_t(tb.attn.proj),
+            "rel_bias": tb.attn.bias_table.detach().numpy(),
+            "ln2": {"g": tb.norm2.weight.detach().numpy(), "b": tb.norm2.bias.detach().numpy()},
+            "fc1": lin_t(tb.fc1),
+            "fc2": lin_t(tb.fc2),
+        })
+        xj = jnp.asarray(x)
+        hh = L.layer_norm(p["ln1"], xj)
+        h = xj + SW._window_attn(p, hh, heads, window, s, rel_idx)
+        hh = L.layer_norm(p["ln2"], h)
+        got = h + L.linear(p["fc2"], L.gelu(L.linear(p["fc1"], hh)))
+        np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=1e-4,
+                                   err_msg=f"shift={s}")
