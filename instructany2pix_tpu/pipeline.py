@@ -383,9 +383,13 @@ class InstructAny2PixPipeline:
                     base_pred / (np.linalg.norm(base_pred) + 1e-9) * self.cfg.embed_norm
                 ) @ aux_np.T
                 base_idx = int(np.argmax(sims))
+                # multi-input: the reference RETURNS the predicted base
+                # embedding itself (pipeline.py:256-260) — the cosine
+                # argmax only picks the source FILE
+                base_embed = base_pred
             else:
                 base_idx = 0
-            base_embed = aux_np[base_idx] if len(aux_np) else np.zeros_like(image_embeds[0])
+                base_embed = aux_np[base_idx] if len(aux_np) else np.zeros_like(image_embeds[0])
         base_img_path = mm_data[base_idx]["fname"] if mm_data else None
 
         all_objs = self.get_all_objs(full_text)
