@@ -43,3 +43,23 @@ def test_resampler_pos_emb_and_batch_independence(rng):
     np.testing.assert_allclose(
         np.asarray(out[0]), np.asarray(out0[0]), atol=1e-5, rtol=1e-5
     )
+
+
+def test_preprocess_clip_image_rescales_by_dtype():
+    """Near-black uint8 images must still be divided by 255 (dtype, not
+    value range, decides — r2 review fix); float inputs in [0,1] are
+    left unscaled."""
+    import numpy as np
+
+    from instructany2pix_tpu.diffusion.ip_adapter import preprocess_clip_image
+
+    dark_u8 = np.zeros((32, 32, 3), np.uint8)
+    dark_u8[0, 0] = 1  # max value 1 — the old max()>1.5 heuristic missed this
+    a = np.asarray(preprocess_clip_image(dark_u8, image_size=16))
+    dark_f = dark_u8.astype(np.float32) / 255.0
+    b = np.asarray(preprocess_clip_image(dark_f, image_size=16))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # a pure-black uint8 and pure-black float agree too
+    z = np.asarray(preprocess_clip_image(np.zeros((32, 32, 3), np.uint8), image_size=16))
+    z2 = np.asarray(preprocess_clip_image(np.zeros((32, 32, 3), np.float32), image_size=16))
+    np.testing.assert_allclose(z, z2, atol=1e-6)
