@@ -67,42 +67,84 @@ def mel_filterbank(
     return weights.astype(np.float32)
 
 
-def log_mel_spectrogram(
-    wav: np.ndarray,
-    sr: int = 22050,
-    n_fft: int = 1024,
-    hop: int = 256,
-    n_mels: int = 80,
+def stft_magnitude(
+    wav: np.ndarray, n_fft: int, hop: int, power: float = 1.0
 ) -> np.ndarray:
-    """(T,) waveform → (n_mels, frames) log-mel, matching the SpecVQGAN
-    frontend's shape conventions (80 × ~848 for 10 s @22050)."""
+    """librosa.stft-compatible magnitude**power spectrogram:
+    center=True reflect padding, periodic hann window.
+    Returns (n_fft//2+1, frames)."""
     win = hann_window(n_fft)
     pad = n_fft // 2
     wav = np.pad(wav, (pad, pad), mode="reflect")
     n_frames = 1 + (len(wav) - n_fft) // hop
     idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
     frames = wav[idx] * win[None, :]
-    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # power
-    mel = mel_filterbank(sr, n_fft, n_mels) @ spec.T
+    return (np.abs(np.fft.rfft(frames, axis=1)) ** power).T
+
+
+def log_mel_spectrogram(
+    wav: np.ndarray,
+    sr: int = 22050,
+    n_fft: int = 1024,
+    hop: int = 256,
+    n_mels: int = 80,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    spec_power: float = 2.0,
+) -> np.ndarray:
+    """(T,) waveform → (n_mels, frames) log10-mel. The SpecVQGAN codec
+    frontend calls this with fmin=125, fmax=7600, spec_power=1
+    (reference extract_spec.py TRANSFORMS)."""
+    spec = stft_magnitude(wav, n_fft, hop, spec_power)
+    mel = mel_filterbank(sr, n_fft, n_mels, fmin=fmin, fmax=fmax) @ spec
     return np.log10(np.maximum(mel, 1e-5)).astype(np.float32)
 
 
-class AudioVAEProcessor:
-    """waveform → normalized log-mel in [-1,1] (reference
-    vae/audio_vqvae.py:364-377 normalizes specs into [-1,1])."""
+# Reference mel normalization (extract_spec.py TRANSFORMS, applied after
+# MelSpectrogram with spec_power=1): LowerThresh(1e-5) → Log10 →
+# Multiply(20) → Subtract(20) → Add(100) → Divide(100) → Clip(0,1) →
+# TrimSpec(860); extract_melspectrogram then maps [0,1] → [-1,1].
+SPECVQGAN_SR = 22050
+SPECVQGAN_NFFT = 1024
+SPECVQGAN_HOP = 256
+SPECVQGAN_FMIN = 125.0
+SPECVQGAN_FMAX = 7600.0
+SPECVQGAN_TRIM = 860
 
-    def __init__(self, sample_rate: int = 22050, n_mels: int = 80, duration: float = 9.85):
+
+def specvqgan_mel(wav: np.ndarray, sr: int = SPECVQGAN_SR,
+                  n_mels: int = 80, trim: int = SPECVQGAN_TRIM,
+                  n_fft: int = SPECVQGAN_NFFT, hop: int = SPECVQGAN_HOP,
+                  fmin: float = SPECVQGAN_FMIN,
+                  fmax: float = SPECVQGAN_FMAX) -> np.ndarray:
+    """Exact reference TRANSFORMS chain → (n_mels, ≤trim) in [0,1]."""
+    logmel = log_mel_spectrogram(
+        wav, sr, n_fft=n_fft, hop=hop, n_mels=n_mels,
+        fmin=fmin, fmax=fmax, spec_power=1.0,
+    )
+    x = (20.0 * logmel - 20.0 + 100.0) / 100.0
+    return np.clip(x, 0.0, 1.0)[:, :trim].astype(np.float32)
+
+
+class AudioVAEProcessor:
+    """waveform → log-mel in [-1,1] for the audio VQ codec — parity
+    with reference AudioVAEProcesser (vae/audio_vqvae.py:363-374):
+    extract_melspectrogram over the clip's own duration, i.e. the
+    TRANSFORMS chain then 2·x−1. `duration=None` (default) uses the
+    full clip like the reference; pass a fixed duration to pad/crop."""
+
+    def __init__(self, sample_rate: int = 22050, n_mels: int = 80,
+                 duration: float | None = None):
         self.sample_rate = sample_rate
         self.n_mels = n_mels
         self.duration = duration
 
     def __call__(self, wav: np.ndarray) -> np.ndarray:
-        target = int(self.sample_rate * self.duration)
-        if len(wav) < target:
-            wav = np.pad(wav, (0, target - len(wav)))
-        wav = wav[:target]
-        mel = log_mel_spectrogram(wav, self.sample_rate, n_mels=self.n_mels)
-        lo, hi = -5.0, np.log10(np.maximum(mel.max(), 1e-5)) if mel.size else 1.0
-        mel = np.clip(mel, lo, None)
-        mel = 2.0 * (mel - lo) / max(float(mel.max() - lo), 1e-5) - 1.0
-        return mel.astype(np.float32)
+        wav = np.asarray(wav, np.float32)
+        if self.duration is not None:
+            target = int(self.sample_rate * self.duration)
+            if len(wav) < target:
+                wav = np.pad(wav, (0, target - len(wav)))
+            wav = wav[:target]
+        mel = specvqgan_mel(wav, self.sample_rate, n_mels=self.n_mels)
+        return (2.0 * mel - 1.0).astype(np.float32)

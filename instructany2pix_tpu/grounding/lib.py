@@ -114,11 +114,33 @@ def cosine_fallback_grounder(embed_fn: Callable):
     return grounder
 
 
-def build_segmentator(ckpt_dir: str = "ckpts/gdino"):
+def _load_bert_tokenizer(ckpt_dir: str):
+    """Real-checkpoint caption tokenizer (reference gdino/lib.py:74-81
+    uses HF bert-base-uncased). Loads `vocab.txt` placed next to
+    gdino.pth; a real gdino.pth with no vocab is an error — the hash
+    fallback tokenizer produces ids that are meaningless to the trained
+    BERT text encoder, silently breaking grounding."""
+    import os
+
+    vocab_path = os.path.join(ckpt_dir, "vocab.txt")
+    if os.path.exists(vocab_path):
+        from .bert_tokenizer import BertWordpieceTokenizer
+
+        return BertWordpieceTokenizer(vocab_path)
+    raise FileNotFoundError(
+        f"GroundingDINO checkpoint found but no BERT vocab at {vocab_path}; "
+        "copy bert-base-uncased's vocab.txt next to gdino.pth (grounding "
+        "captions must be wordpiece-encoded for the trained text encoder)."
+    )
+
+
+def build_segmentator(ckpt_dir: str = "ckpts/gdino", sam_cfg=None, dino_cfg=None):
     """Load SAM + GroundingDINO (reference gdino/lib.py:54-67
     `build_segmentator`): returns (segmentor, grounder). Falls back to
     the checkpoint-free box/cosine implementations when weights are
-    absent (this environment ships none)."""
+    absent (this environment ships none). `sam_cfg`/`dino_cfg` default
+    to the full-size ViT-H / SwinT graphs; the checkpoint-boot test
+    passes tiny-dims configs matching its synthetic checkpoints."""
     import os
 
     sam_path = os.path.join(ckpt_dir, "sam_vit_h_4b8939.pth")
@@ -127,14 +149,15 @@ def build_segmentator(ckpt_dir: str = "ckpts/gdino"):
         from . import gdino as gdino_lib
         from . import sam as sam_lib
 
-        sam_cfg = sam_lib.SAMConfig.vit_h()
+        sam_cfg = sam_cfg or sam_lib.SAMConfig.vit_h()
         segmentor = sam_lib.make_segmentor(
             sam_lib.convert_from_sam(sam_path, sam_cfg), sam_cfg
         )
         try:
-            dino_cfg = gdino_lib.GDinoConfig.swint()
+            dino_cfg = dino_cfg or gdino_lib.GDinoConfig.swint()
             grounder = gdino_lib.make_grounder(
-                gdino_lib.convert_from_torch(dino_path, dino_cfg), dino_cfg
+                gdino_lib.convert_from_torch(dino_path, dino_cfg), dino_cfg,
+                tokenizer=_load_bert_tokenizer(ckpt_dir),
             )
         except NotImplementedError:
             grounder = cosine_fallback_grounder(None)

@@ -42,9 +42,18 @@ def _use_pallas_qmv(p, x) -> bool:
 
     if os.environ.get("IA2P_QMV") == "off":
         return False
+    w = p["w_q"] if "w_q" in p else p["w_q4"]
+    # GSPMD-sharded weights (TP decode) can't be partitioned by
+    # pallas_call — route them to the XLA path automatically instead of
+    # relying on the env var.
+    try:  # tracers may not expose .sharding — treat as unsharded
+        shd = w.sharding if isinstance(w, jax.Array) else None
+    except Exception:  # noqa: BLE001
+        shd = None
+    if shd is not None and not getattr(shd, "is_fully_replicated", True):
+        return False
     m = math.prod(x.shape[:-1]) if x.ndim > 1 else 1
-    n = (p["w_q"] if "w_q" in p else p["w_q4"]).shape[1]
-    return m <= 16 and n % 128 == 0 and jax.default_backend() == "tpu"
+    return m <= 16 and w.shape[1] % 128 == 0 and jax.default_backend() == "tpu"
 
 
 def linear(p, x, compute_dtype=None):

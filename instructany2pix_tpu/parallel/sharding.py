@@ -87,14 +87,19 @@ LLAMA_TP_RULES: Rules = [
     (r"embed_tokens\.w$", P(None, MODEL_AXIS)),
     (r"lm_head\.(w|w_q)$", P(None, MODEL_AXIS)),
     (r"lm_head\.scale$", P(MODEL_AXIS)),
-    (r"layer_\d+\.(q|k|v|qkv)\.(w|w_q|w_q4)$", P(None, MODEL_AXIS)),  # column
-    (r"layer_\d+\.(q|k|v|qkv)\.scale$", P(MODEL_AXIS)),
-    (r"layer_\d+\.(q|k|v|qkv)\.gscale$", P(None, MODEL_AXIS)),
+    # TP shards only the UNFUSED projection names: a raw column shard of
+    # a fused qkv/gate_up weight crosses the q/k/v (and GQA kv-head)
+    # boundaries, so the in-block split would trigger resharding
+    # collectives every layer. llama.fuse_projections is a single-device
+    # decode transform; use assert_unfused_for_tp before applying these.
+    (r"layer_\d+\.(q|k|v)\.(w|w_q|w_q4)$", P(None, MODEL_AXIS)),  # column
+    (r"layer_\d+\.(q|k|v)\.scale$", P(MODEL_AXIS)),
+    (r"layer_\d+\.(q|k|v)\.gscale$", P(None, MODEL_AXIS)),
     (r"layer_\d+\.o\.(w|w_q)$", P(MODEL_AXIS, None)),  # row parallel
     (r"layer_\d+\.o\.(scale|gscale)$", P()),
-    (r"layer_\d+\.(gate|up|gate_up)\.(w|w_q|w_q4)$", P(None, MODEL_AXIS)),
-    (r"layer_\d+\.(gate|up|gate_up)\.scale$", P(MODEL_AXIS)),
-    (r"layer_\d+\.(gate|up|gate_up)\.gscale$", P(None, MODEL_AXIS)),
+    (r"layer_\d+\.(gate|up)\.(w|w_q|w_q4)$", P(None, MODEL_AXIS)),
+    (r"layer_\d+\.(gate|up)\.scale$", P(MODEL_AXIS)),
+    (r"layer_\d+\.(gate|up)\.gscale$", P(None, MODEL_AXIS)),
     (r"layer_\d+\.down\.(w|w_q)$", P(MODEL_AXIS, None)),
     (r"layer_\d+\.down\.(scale|gscale)$", P()),
     (r".*norm\.g$", P()),
@@ -111,6 +116,22 @@ UNET_TP_RULES: Rules = [
     (r".*\.(down|up|shortcut|conv_in|conv_out)\.w$", P(None, None, None, MODEL_AXIS)),
     (r".*", P()),
 ]
+
+
+def assert_unfused_for_tp(params):
+    """Raise if the llama tree carries fused qkv/gate_up projections —
+    LLAMA_TP_RULES shard the unfused names only (see comment above)."""
+    fused = [
+        path
+        for path in tree_util.flatten(params)
+        if ".qkv." in path or ".gate_up." in path
+    ]
+    if fused:
+        raise ValueError(
+            "tensor-parallel sharding requires unfused projections; found "
+            f"fused params (e.g. {fused[0]!r}). Load the checkpoint without "
+            "llama.fuse_projections for TP decode."
+        )
 
 
 def apply_tp_rules(params, mesh: Mesh, rules: Rules):

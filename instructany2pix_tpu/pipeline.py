@@ -64,6 +64,13 @@ from .prior import model as prior_lib
 MODALITY = prior_lib.MODALITY
 REPLACEMENT_TYPE = C.REPLACEMENT_TYPE
 
+# The reference invokes the SDXL refiner as `self.piperf(image, prompt,
+# strength=refinement)` (reference pipeline.py:358) — diffusers'
+# StableDiffusionXLImg2ImgPipeline default num_inference_steps=50. The
+# refiner step grid is therefore fixed at 50 independent of the edit's
+# `num_inference_steps`.
+REFINER_NUM_STEPS = 50
+
 
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
@@ -81,6 +88,11 @@ class PipelineConfig:
     imagebind_audio: imagebind_lib.ViTConfig = imagebind_lib.ViTConfig.imagebind_audio()
     image_size: int = 1024
     embed_norm: float = 20.0
+    # grounding model configs — None selects the full-size SwinT/ViT-H
+    # graphs inside build_segmentator; the checkpoint-boot test passes
+    # tiny-dims configs matching its synthetic gdino/sam checkpoints
+    gdino: Optional[Any] = None
+    sam: Optional[Any] = None
 
     @staticmethod
     def tiny() -> "PipelineConfig":
@@ -204,7 +216,8 @@ class InstructAny2PixPipeline:
         # checkpoints exist (reference gdino/lib.py:54-67 wires them at
         # init); whole-image cosine fallback otherwise
         self.segmentor, self.grounder = grounding_lib.build_segmentator(
-            os.path.join(ckpt, "gdino")
+            os.path.join(ckpt, "gdino"),
+            sam_cfg=self.cfg.sam, dino_cfg=self.cfg.gdino,
         )
 
     # ------------------------------------------------------------ weights
@@ -599,9 +612,12 @@ class InstructAny2PixPipeline:
                 self.params["refiner"], c.refiner, self.schedule, rlat, kc(),
                 rctx, o2n["hidden_states"][-2], rpooled,
                 o2n.get("text_embeds", o2n["pooled"]), rtid,
-                num_inference_steps=num_inference_steps, strength=refinement,
                 # reference calls the refiner with diffusers defaults
-                # (pipeline.py:358-359) → img2img guidance 5.0, not `cfg`
+                # (pipeline.py:358): num_inference_steps=50 and guidance 5.0
+                # regardless of the edit's step count — strength 0.5 means
+                # ~25 refiner steps on a 50-step grid, NOT steps/2 on the
+                # edit grid.
+                num_inference_steps=REFINER_NUM_STEPS, strength=refinement,
                 guidance_scale=5.0,
                 time_ids_uncond=rtid_u,
             )
@@ -685,12 +701,20 @@ class InstructAny2PixPipeline:
         return inpaint_fn
 
 
-def _load_wav(path: str) -> np.ndarray:
-    """Minimal audio decode: .npy passthrough or WAV via the stdlib.
-    (The reference shells out to ffmpeg; compressed formats need an
-    external decoder.)"""
-    if path.endswith(".npy"):
-        return np.load(path).astype(np.float32)
+def _resample_linear(data: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Linear-interpolation resample (mono). ffmpeg's soxr does better
+    anti-aliasing; for the 1024-d ImageBind embedding downstream the
+    difference is negligible, and this keeps plain-WAV inputs decodable
+    with zero external dependencies."""
+    if sr == target_sr or data.size == 0:
+        return data
+    n_out = int(round(data.size * target_sr / sr))
+    xp = np.arange(data.size, dtype=np.float64) / sr
+    x = np.arange(n_out, dtype=np.float64) / target_sr
+    return np.interp(x, xp, data).astype(np.float32)
+
+
+def _decode_wav(path: str) -> Tuple[np.ndarray, int]:
     import wave
 
     with wave.open(path) as w:
@@ -700,7 +724,41 @@ def _load_wav(path: str) -> np.ndarray:
         data /= float(np.iinfo(dtype).max)
         if w.getnchannels() > 1:
             data = data.reshape(-1, w.getnchannels()).mean(axis=1)
-    return data
+        return data, w.getframerate()
+
+
+def _load_wav(path: str, target_sr: int = 16000) -> np.ndarray:
+    """Audio decode for mm_data entries, resampled to `target_sr`
+    (ImageBind's 16 kHz): .npy passthrough (precomputed at target
+    rate), WAV via the stdlib, and any other format (mp3/flac/ogg/mp4
+    audio) through an ffmpeg subprocess exactly like the reference
+    (reference vae/modules/extract_spec.py:193-209)."""
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    if path.endswith(".wav"):
+        data, sr = _decode_wav(path)
+        return _resample_linear(data, sr, target_sr)
+    # compressed container → ffmpeg -f wav -ac 1 -ar target_sr
+    import shutil
+    import subprocess
+    import tempfile
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise RuntimeError(
+            f"cannot decode {path!r}: not .wav/.npy and no ffmpeg on PATH "
+            "(the reference uses ffmpeg for compressed audio, "
+            "extract_spec.py:193-209)"
+        )
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "decoded.wav")
+        subprocess.run(
+            [ffmpeg, "-i", path, "-hide_banner", "-loglevel", "panic",
+             "-f", "wav", "-vn", "-ac", "1", "-ar", str(target_sr), "-y", out],
+            check=True,
+        )
+        data, sr = _decode_wav(out)
+    return _resample_linear(data, sr, target_sr)
 
 
 # JSON helpers (reference pipeline.py:388-411)

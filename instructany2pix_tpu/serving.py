@@ -21,8 +21,9 @@ import dataclasses
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -59,10 +60,12 @@ class BatchScheduler:
         run_batch: Callable[[List[EditRequest]], List[np.ndarray]],
         max_batch: int = 8,
         max_wait_s: float = 0.05,
+        bucket_fn: Optional[Callable[[Any], Any]] = None,
     ):
         self._run = run_batch
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
+        self._bucket_fn = bucket_fn
         self._q: "queue.Queue[Tuple[EditRequest, Future]]" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -81,34 +84,47 @@ class BatchScheduler:
         return fut
 
     def _bucket(self, req: EditRequest):
+        if self._bucket_fn is not None:
+            return self._bucket_fn(req)
+        # every array shape that np.stack's inside the executor must match:
+        # latents, ctx, and the IP token blocks (global-vs-local IP embeds
+        # produce different n_ip — stacking them together would raise)
         return (
             req.num_inference_steps, req.latents.shape, req.guidance_scale,
-            req.ip_scale, req.ip_tokens is not None,
-            req.ip_tokens_uncond is not None,
+            req.ip_scale, req.ctx.shape,
+            None if req.ip_tokens is None else req.ip_tokens.shape,
+            None if req.ip_tokens_uncond is None else req.ip_tokens_uncond.shape,
         )
 
     def _loop(self):
+        # `pending` holds requests in arrival order; incompatible requests
+        # stay at their position rather than being re-queued to the tail,
+        # so alternating-bucket traffic keeps FIFO fairness.
+        pending: "deque[Tuple[EditRequest, Future]]" = deque()
         while not self._stop.is_set():
-            try:
-                first = self._q.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            batch = [first]
-            key = self._bucket(first[0])
+            if not pending:
+                try:
+                    pending.append(self._q.get(timeout=0.1))
+                except queue.Empty:
+                    continue
+            key = self._bucket(pending[0][0])
             deadline = time.monotonic() + self.max_wait_s
-            while len(batch) < self.max_batch:
+            while sum(1 for it in pending if self._bucket(it[0]) == key) < self.max_batch:
                 timeout = deadline - time.monotonic()
                 if timeout <= 0:
                     break
                 try:
-                    item = self._q.get(timeout=timeout)
+                    pending.append(self._q.get(timeout=timeout))
                 except queue.Empty:
                     break
-                if self._bucket(item[0]) == key:
-                    batch.append(item)
+            batch: List[Tuple[EditRequest, Future]] = []
+            rest: "deque[Tuple[EditRequest, Future]]" = deque()
+            for it in pending:
+                if len(batch) < self.max_batch and self._bucket(it[0]) == key:
+                    batch.append(it)
                 else:
-                    self._q.put(item)  # incompatible — next round
-                    break
+                    rest.append(it)
+            pending = rest
             reqs = [r for r, _ in batch]
             futs = [f for _, f in batch]
             try:
@@ -297,16 +313,26 @@ class PipelineServer:
         self.max_new_tokens = max_new_tokens
         multi = self.mesh.devices.size > 1 and shard_model
         if multi:
+            _sh.assert_unfused_for_tp(pipe.params["llm"]["llama"])
             pipe.params["llm"]["llama"] = _sh.apply_tp_rules(
                 pipe.params["llm"]["llama"], self.mesh, _sh.LLAMA_TP_RULES
             )
+            # TP-sharded quantized decode weights can't be partitioned by
+            # pallas_call; inside jit the router can't see shardings
+            # (params are traced), so pin the XLA dequant path for this
+            # serving process.
+            import os as _os
+
+            _os.environ["IA2P_QMV"] = "off"
         self.denoiser = BatchedDenoiser(
             pipe.params["unet"], pipe.cfg.unet, mesh=self.mesh,
             schedule=pipe.schedule, shard_model=multi,
         )
-        self.scheduler = BatchScheduler(self._run_batch, max_batch, max_wait_s)
-        self.scheduler._bucket = lambda req: (
-            req.num_inference_steps, req.cfg, req.refinement, req.scale
+        self.scheduler = BatchScheduler(
+            self._run_batch, max_batch, max_wait_s,
+            bucket_fn=lambda req: (
+                req.num_inference_steps, req.cfg, req.refinement, req.scale
+            ),
         )
         self.scheduler.start()
 
@@ -366,6 +392,7 @@ class PipelineServer:
         from .models import vae as vae_lib
         from .prior import model as prior_lib
         from .codecs import image_io
+        from . import pipeline as pipeline_mod
 
         pipe = self.pipe
         c = pipe.cfg
@@ -510,14 +537,23 @@ class PipelineServer:
             )
             enc_keys = jnp.stack([_jax.random.key(reqs[i].seed + 2) for i in live])
             noise_keys2 = jnp.stack([_jax.random.key(reqs[i].seed + 3) for i in live])
-            rlat = vae_lib.encode(pipe.params["vae"], dec, key=enc_keys, cfg=c.vae)
+            # Round-trip the decoded image through uint8 before re-encoding,
+            # exactly like the single-request pipeline (pipeline.run saves
+            # `non_refined` as uint8 then to_model_range's it back) — keeps
+            # same-seed results bit-consistent between the two paths.
+            dec8 = jnp.asarray(np.stack([
+                image_io.to_model_range(image_io.from_model_range(np.asarray(dec[j])))
+                for j in range(b)
+            ]))
+            rlat = vae_lib.encode(pipe.params["vae"], dec8, key=enc_keys, cfg=c.vae)
             rlat = i2i.img2img(
                 pipe.params["refiner"], c.refiner, pipe.schedule, rlat,
                 noise_keys2, rctx, rctx_u, rpooled, rpooled_u, rtid,
-                num_inference_steps=steps, strength=refinement,
-                # reference calls the refiner with diffusers img2img
-                # defaults -> guidance 5.0 (pipeline.py:358-359),
-                # negative aesthetic score 2.5 on the uncond half
+                # diffusers img2img defaults (reference pipeline.py:358):
+                # 50-step grid regardless of the edit's step count,
+                # guidance 5.0, negative aesthetic score 2.5 on uncond
+                num_inference_steps=pipeline_mod.REFINER_NUM_STEPS,
+                strength=refinement,
                 guidance_scale=5.0,
                 time_ids_uncond=rtid_u,
             )

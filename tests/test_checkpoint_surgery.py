@@ -111,3 +111,17 @@ def test_tp_rules_quantized_llama_decode_matches(mesh8, rng):
                                max_new_tokens=4, temperature=0.0, eos_id=2,
                                max_len=16)
     np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
+
+
+def test_tp_rejects_fused_projections(mesh8, rng):
+    """ADVICE r2 #1: fused qkv/gate_up trees must be refused by TP
+    sharding — a raw column shard crosses q/k/v boundaries."""
+    import pytest
+
+    from instructany2pix_tpu.models import llama
+
+    fused = llama.fuse_projections(llama.init(rng, llama.LlamaConfig.tiny()))
+    with pytest.raises(ValueError, match="unfused"):
+        sh.assert_unfused_for_tp(fused)
+    # unfused tree passes
+    sh.assert_unfused_for_tp(llama.init(rng, llama.LlamaConfig.tiny()))

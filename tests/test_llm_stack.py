@@ -282,3 +282,39 @@ def test_generate_bucketed_matches_unbucketed(rng):
     np.testing.assert_allclose(
         np.asarray(a.hiddens), np.asarray(b.hiddens), atol=2e-4, rtol=1e-3
     )
+
+
+def test_conversation_registry_parity_vs_reference():
+    """Every registry entry produces byte-identical prompts to the
+    reference (reference llm/conversation.py:361-374) — the template
+    strings are the fine-tuned models' prompt formats."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_conversation",
+        "/root/reference/instructany2pix/llm/conversation.py",
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    assert set(conv_templates) == set(ref.conv_templates)
+    dialog = [
+        ("add <video> to <video>", "a photo [a cat] additions:cat:<video>."),
+        ("make it snow", None),
+    ]
+    for name, ours in conv_templates.items():
+        theirs = ref.conv_templates[name].copy()
+        mine = ours.copy()
+        assert mine.offset == theirs.offset, name
+        # the reference PLAIN template has sep2=None and is only ever
+        # used with a single (first-turn) message — a second message
+        # would crash its get_prompt; match that usage here
+        turns = dialog[:1] if name in ("plain", "v0_plain") else dialog
+        second = None if name in ("plain", "v0_plain") else True
+        for (q, a) in turns:
+            mine.append_message(mine.roles[0], q)
+            theirs.append_message(theirs.roles[0], q)
+            if second:
+                mine.append_message(mine.roles[1], a)
+                theirs.append_message(theirs.roles[1], a)
+        assert mine.get_prompt() == theirs.get_prompt(), name
