@@ -353,24 +353,54 @@ def main():
         t_sync=t_sync, reps=2,
     )
 
+    # ------------------------------------------------------ quality (opt.)
+    # `--quality` / IA2P_BENCH_QUALITY=1: CLIP-score the bench edit's
+    # decoded image against a fixed caption when a full CLIP (text +
+    # vision) checkpoint exists on disk (BASELINE quality metric —
+    # CLIP-score parity with the reference's paper eval, readme.MD:34).
+    # This environment ships no weights, so the row appears only on a
+    # real deployment; the harness itself is tiny-model tested
+    # (tests/test_clip_score.py).
+    clip_row = None
+    if "--quality" in sys.argv or os.environ.get("IA2P_BENCH_QUALITY") == "1":
+        from instructany2pix_tpu.utils import clip_score as cs_lib
+
+        towers = cs_lib.load_scoring_clip("ckpts")
+        if towers is None:
+            log("quality: no full CLIP checkpoint under ckpts/ — skipped")
+        else:
+            from instructany2pix_tpu.codecs import image_io
+
+            img_out = image_io.from_model_range(
+                np.asarray(vae_dec(vae_p, rlat)[0].astype(jnp.float32))
+            )
+            caption = "an antique shop with a grandfather clock"
+            clip_row = float(
+                cs_lib.clip_score(
+                    towers["text_params"], towers["text_cfg"],
+                    towers["tokenizer"], towers["vision_params"],
+                    towers["vision_cfg"], [img_out], [caption],
+                )[0]
+            )
+            log(f"quality: CLIP-score {clip_row:.2f}")
+
     # -------------------------------------------------------------- report
     total = sum(stage_s.values())
     log("--- stage breakdown (s) ---")
     for k, v in stage_s.items():
         log(f"  {k:>16}: {v:.3f}")
     log(f"  {'TOTAL e2e':>16}: {total:.3f}")
-    print(
-        json.dumps(
-            {
-                "metric": f"e2e_50step_{size}px_edit_latency",
-                "value": round(total, 3),
-                "unit": "s",
-                "vs_baseline": round(2.0 / total, 3),
-                "stages": {k: round(v, 3) for k, v in stage_s.items()},
-                "llm_quant": quant,
-            }
-        )
-    )
+    payload = {
+        "metric": f"e2e_50step_{size}px_edit_latency",
+        "value": round(total, 3),
+        "unit": "s",
+        "vs_baseline": round(2.0 / total, 3),
+        "stages": {k: round(v, 3) for k, v in stage_s.items()},
+        "llm_quant": quant,
+    }
+    if clip_row is not None:
+        payload["clip_score"] = round(clip_row, 2)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -86,7 +86,6 @@ def inpaint(
     ip_tokens_uncond: Optional[jax.Array] = None,
     ip_scale: float = 1.0,
 ) -> jax.Array:
-    assert unet_cfg.in_channels == 9, "inpainting expects the 9-channel UNet"
     b, h, w, _ = src_latents.shape
     mask_lat = jax.image.resize(mask.astype(jnp.float32), (b, h, w, 1), "nearest")
     ts, n = img2img_timesteps(schedule, num_inference_steps, strength)
@@ -96,11 +95,47 @@ def inpaint(
     lat = schedule.add_noise(
         src_latents.astype(jnp.float32), noise, jnp.full((b,), ts[0])
     ).astype(src_latents.dtype)
-    extra = jnp.concatenate(
-        [mask_lat.astype(lat.dtype), masked_latents.astype(lat.dtype)], axis=-1
-    )
+    if unet_cfg.in_channels == 9:
+        # dedicated inpaint UNet: mask + masked-image latents concat
+        extra = jnp.concatenate(
+            [mask_lat.astype(lat.dtype), masked_latents.astype(lat.dtype)], axis=-1
+        )
+        eps_fn = make_cfg_eps_fn(
+            unet_params, unet_cfg, ctx, ctx_uncond, pooled, pooled_uncond,
+            time_ids, guidance_scale, ip_tokens, ip_tokens_uncond, ip_scale,
+            extra_channels=extra,
+        )
+        return scan_denoise(eps_fn, schedule, lat, ts)
+    # base 4-channel UNet — the reference's LIVE inpaint path: its
+    # StableDiffusionXLInpaintPipeline shares the base UNet (reference
+    # pipeline.py:132-139), and diffusers with num_channels_unet==4
+    # resets the keep region after every scheduler step to the source
+    # latents noised to the NEXT timestep (same `noise` sample).
     eps_fn = make_cfg_eps_fn(
-        unet_params, unet_cfg, ctx, ctx_uncond, pooled, pooled_uncond, time_ids,
-        guidance_scale, ip_tokens, ip_tokens_uncond, ip_scale, extra_channels=extra,
+        unet_params, unet_cfg, ctx, ctx_uncond, pooled, pooled_uncond,
+        time_ids, guidance_scale, ip_tokens, ip_tokens_uncond, ip_scale,
     )
-    return scan_denoise(eps_fn, schedule, lat, ts)
+    src32 = src_latents.astype(jnp.float32)
+    ts_prev = jnp.concatenate([ts[1:], jnp.asarray([-1], jnp.int32)])
+
+    def step(cur, inputs):
+        t, t_prev, i = inputs
+        eps = eps_fn(cur, t, i)
+        nxt = schedule.ddim_step(
+            eps.astype(jnp.float32), jnp.full((b,), t), jnp.full((b,), t_prev),
+            cur.astype(jnp.float32),
+        )
+        init_proper = jnp.where(
+            t_prev >= 0,
+            schedule.add_noise(
+                src32, noise, jnp.full((b,), jnp.maximum(t_prev, 0))
+            ),
+            src32,
+        )
+        nxt = (1.0 - mask_lat) * init_proper + mask_lat * nxt
+        return nxt.astype(src_latents.dtype), None
+
+    out, _ = jax.lax.scan(
+        step, lat, (ts, ts_prev, jnp.arange(ts.shape[0]))
+    )
+    return out

@@ -28,6 +28,8 @@ def _load_sharded_hf(path: str) -> Dict[str, np.ndarray]:
     files = sorted(
         glob.glob(os.path.join(path, "*.safetensors"))
         or glob.glob(os.path.join(path, "pytorch_model*.bin"))
+        # diffusers component dirs (unet/vae) use this name in .bin format
+        or glob.glob(os.path.join(path, "diffusion_pytorch_model*.bin"))
     )
     if not files:
         raise FileNotFoundError(f"no weight shards under {path}")

@@ -244,7 +244,14 @@ class InstructAny2PixPipeline:
     def _load_checkpoints(self, ckpt: str, llm_folder: str) -> Dict[str, Any]:
         from .loaders import load_pipeline_params
 
-        return load_pipeline_params(self.cfg, ckpt, llm_folder)
+        params = load_pipeline_params(self.cfg, ckpt, llm_folder)
+        # the loaded tree shares the BASE UNet for inpainting (reference
+        # pipeline.py:132-139 builds StableDiffusionXLInpaintPipeline
+        # from base components) — pin the inpaint config to match so the
+        # 4-channel latent-blend path runs (diffusers num_channels_unet
+        # == 4 branch), not the dedicated 9-channel concat path
+        self.cfg = dataclasses.replace(self.cfg, inpaint_unet=self.cfg.unet)
+        return params
 
     # -------------------------------------------------------- conditioning
 

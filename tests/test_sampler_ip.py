@@ -246,3 +246,50 @@ def test_pnp_share_qk_and_denoise(rng):
     )
     assert out.shape == (1, 8, 8, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_inpaint_4ch_blend_matches_manual_loop(rng):
+    """Base-UNet (4-channel) inpainting — the reference's LIVE path
+    (its inpaint pipeline shares the base UNet, reference
+    pipeline.py:132-139). Parity vs a direct transcription of the
+    diffusers num_channels_unet==4 algorithm: after every scheduler
+    step, keep region ← source latents noised to the NEXT timestep."""
+    cfg, params, sched, ctx, ctx_u, pooled, tid = _tiny_stack(rng, in_ch=4)
+    src = jax.random.normal(jax.random.key(5), (1, 16, 16, 4))
+    mask = jnp.zeros((1, 128, 128, 1)).at[:, 32:96, 32:96].set(1.0)
+    key = jax.random.key(1)
+    steps, strength = 4, 0.75
+    out = i2i.inpaint(
+        params, cfg, sched, src, mask, src * 0.5, key,
+        ctx, ctx_u, pooled, jnp.zeros_like(pooled), tid,
+        num_inference_steps=steps, strength=strength, guidance_scale=7.5,
+    )
+
+    # --- independent manual loop (diffusers algorithm transcription)
+    from instructany2pix_tpu.diffusion.img2img import img2img_timesteps
+    from instructany2pix_tpu.diffusion.img2img import row_normal
+    from instructany2pix_tpu.diffusion.sampler import make_cfg_eps_fn
+
+    ts, _ = img2img_timesteps(sched, steps, strength)
+    noise = row_normal(key, src.shape)
+    lat = sched.add_noise(src, noise, jnp.full((1,), ts[0]))
+    mask_lat = jax.image.resize(mask, (1, 16, 16, 1), "nearest")
+    eps_fn = make_cfg_eps_fn(
+        params, cfg, ctx, ctx_u, pooled, jnp.zeros_like(pooled), tid, 7.5
+    )
+    for i, t in enumerate(list(np.asarray(ts))):
+        t_prev = int(np.asarray(ts)[i + 1]) if i + 1 < len(ts) else -1
+        eps = eps_fn(lat, jnp.asarray(t), i)
+        lat = sched.ddim_step(
+            eps.astype(jnp.float32), jnp.full((1,), t), jnp.full((1,), t_prev),
+            lat.astype(jnp.float32),
+        )
+        proper = (
+            sched.add_noise(src, noise, jnp.full((1,), t_prev))
+            if t_prev >= 0 else src
+        )
+        lat = (1 - mask_lat) * proper + mask_lat * lat
+    np.testing.assert_allclose(np.asarray(out), np.asarray(lat), atol=2e-4, rtol=1e-3)
+    # keep region equals the source exactly at the end
+    keep = np.asarray((1 - mask_lat) * (out - src))
+    np.testing.assert_allclose(keep, 0.0, atol=1e-5)
