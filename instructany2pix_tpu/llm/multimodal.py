@@ -238,8 +238,20 @@ def train_forward(
     # codebooks → plain cross-entropy over codebook logits (the
     # `img_loss_obj == 'ar'` branch; the predictor's out dim is then the
     # codebook vocab size, build_vision_predictor semantics).
-    def head_loss(pred_fn, target, mask):
-        pred = pred_fn(hidden[:, :-1])  # (B, S-1, D)
+    # the image predictor feeds BOTH the continuous image head and
+    # loss_extra — run it once over the dense sequence (MXU-friendly),
+    # then take masked reductions (was two full predictor forwards)
+    need_img_pred = ("gen_target_image" in batch and "gen_index_image" not in batch) or (
+        rep_type is not None
+    )
+    pred_img = (
+        _predictor(params["vae_predictor_image"], hidden[:, :-1])
+        if need_img_pred
+        else None
+    )
+
+    def head_loss(pred_fn, target, mask, pred=None):
+        pred = pred_fn(hidden[:, :-1]) if pred is None else pred  # (B, S-1, D)
         tgt = target[:, 1:]
         m = mask[:, 1:].astype(jnp.float32)[..., None]
         d = tgt.shape[-1]
@@ -269,6 +281,7 @@ def train_forward(
             lambda h: _predictor(params["vae_predictor_image"], h),
             batch["gen_target_image"],
             batch["gen_mask_image"],
+            pred=pred_img,
         )
         individual["loss_img"] = li
         loss = loss + li
@@ -294,7 +307,7 @@ def train_forward(
         extra_mask = (rep_type == REPLACEMENT_TYPE.BASE) | (
             rep_type == REPLACEMENT_TYPE.GEN
         )
-        pred = _predictor(params["vae_predictor_image"], hidden[:, :-1])
+        pred = pred_img
         m = extra_mask[:, 1:].astype(jnp.float32)[..., None]
         ae = jnp.abs(
             pred.astype(jnp.float32) - batch["replacement_data"][:, 1:].astype(jnp.float32)

@@ -125,6 +125,26 @@ def embed(params, input_ids):
     return L.embedding(params["embed_tokens"], input_ids)
 
 
+def stack_layers(params, cfg: LlamaConfig):
+    """Training-time transform: stack the per-layer subtrees into one
+    `layers` pytree with a leading layer axis so `forward` runs them as
+    a `lax.scan` — one compiled block instead of num_layers unrolled
+    copies (smaller HLO, faster compiles, and per-layer overhead is
+    paid once). Inverse: `unstack_layers`. Decode (KV cache) keeps the
+    unrolled path — the cache is indexed per layer."""
+    out = {k: v for k, v in params.items() if not k.startswith("layer_")}
+    layers = [params[f"layer_{i}"] for i in range(cfg.num_layers)]
+    out["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return out
+
+
+def unstack_layers(params, cfg: LlamaConfig):
+    out = {k: v for k, v in params.items() if k != "layers"}
+    for i in range(cfg.num_layers):
+        out[f"layer_{i}"] = jax.tree.map(lambda x: x[i], params["layers"])
+    return out
+
+
 def fuse_projections(params):
     """Inference-time transform: concat q|k|v → "qkv" and gate|up →
     "gate_up" per layer, so bandwidth-bound decode runs 4 matvec
@@ -260,6 +280,29 @@ def forward(
                 positions - jnp.asarray(prefix_pad).reshape(-1, 1), 0
             )
         positions = jnp.broadcast_to(positions, (b, s))
+
+    if cache is None and "layers" in params:
+        # stacked scan-over-layers (stack_layers): one compiled block
+        policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if cfg.remat_policy == "dots"
+            else jax.checkpoint_policies.nothing_saveable
+        )
+
+        def body(x, lp):
+            fn = lambda p, h: _block(p, h, positions, cfg, attention_mask)[0]
+            if cfg.remat:
+                fn = jax.checkpoint(fn, policy=policy)
+            return fn(lp, x), None
+
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        hidden = x
+        hidden_norm = L.rms_norm(params["final_norm"], x, cfg.rms_eps)
+        if cfg.tie_embeddings:
+            logits = hidden_norm @ params["embed_tokens"]["w"].T
+        else:
+            logits = L.linear(params["lm_head"], hidden_norm)
+        return {"logits": logits, "hidden": hidden, "hidden_norm": hidden_norm}
 
     new_k, new_v = [], []
     for i in range(cfg.num_layers):

@@ -41,6 +41,11 @@ def main():
                     help="grad-checkpoint policy: 'dots' saves matmul outputs "
                          "(+10%% step throughput measured, more activation "
                          "memory); 'full' recomputes everything")
+    ap.add_argument("--scan-layers", action="store_true",
+                    help="stack decoder layers and run them as one lax.scan "
+                         "block (llama.stack_layers): much smaller HLO / "
+                         "faster compile, per-layer dispatch overhead paid "
+                         "once. Incompatible with LoRA (per-layer paths).")
     args = ap.parse_args()
 
     from instructany2pix_tpu.core import checkpoint as ckpt_lib
@@ -78,6 +83,10 @@ def main():
         mesh=mesh,
     )
     params = mm.init(jax.random.key(0), cfg)
+    if args.scan_layers:
+        from instructany2pix_tpu.models import llama as llama_lib
+
+        params["llama"] = llama_lib.stack_layers(params["llama"], cfg.llama)
     state = init_state(params)
     start_step = 0
     latest = os.path.join(args.ckpt_dir, "latest")

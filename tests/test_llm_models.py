@@ -128,3 +128,70 @@ def test_gpt2_parity_with_hf(rng):
     np.testing.assert_allclose(
         np.asarray(out)[1, :7], hf.last_hidden_state.numpy()[1, :7], atol=3e-5, rtol=1e-4
     )
+
+
+def test_scan_layers_matches_unrolled(rng):
+    """llama.stack_layers + the lax.scan forward path are bit-equivalent
+    to the unrolled per-layer loop (train-path transform, PERF §2)."""
+    import dataclasses
+
+    from instructany2pix_tpu.models import llama
+
+    cfg = dataclasses.replace(llama.LlamaConfig.tiny(), remat=False)
+    params = llama.init(rng, cfg)
+    ids = jnp.asarray([[1, 5, 9, 20, 7]])
+    ref = llama.forward(params, cfg, input_ids=ids)
+    stacked = llama.stack_layers(params, cfg)
+    got = llama.forward(stacked, cfg, input_ids=ids)
+    np.testing.assert_allclose(
+        np.asarray(got["logits"]), np.asarray(ref["logits"]), atol=2e-5, rtol=1e-5
+    )
+    # remat variant also matches
+    cfg_r = dataclasses.replace(cfg, remat=True, remat_policy="dots")
+    got_r = llama.forward(stacked, cfg_r, input_ids=ids)
+    np.testing.assert_allclose(
+        np.asarray(got_r["logits"]), np.asarray(ref["logits"]), atol=2e-5, rtol=1e-5
+    )
+    # round trip
+    back = llama.unstack_layers(stacked, cfg)
+    ref2 = llama.forward(back, cfg, input_ids=ids)
+    np.testing.assert_array_equal(np.asarray(ref2["logits"]), np.asarray(ref["logits"]))
+
+
+def test_scan_layers_train_step_on_mesh(rng, mesh8):
+    """Stacked-layer multimodal train step runs sharded end-to-end."""
+    import jax as _jax
+
+    from instructany2pix_tpu.llm import constants as C
+    from instructany2pix_tpu.llm import multimodal as mm
+    from instructany2pix_tpu.models import llama
+    from instructany2pix_tpu.parallel import sharding as sh
+    from instructany2pix_tpu.train.train_step import TrainConfig, make_train_step
+
+    cfg = mm.Any2PixLMConfig.tiny()
+    params = mm.init(rng, cfg)
+    params["llama"] = llama.stack_layers(params["llama"], cfg.llama)
+    init_state, train_step = make_train_step(cfg, TrainConfig(total_steps=4), mesh=mesh8)
+    with _jax.set_mesh(mesh8):
+        state = init_state(params)
+        b, s = 8, 16
+        rs = np.random.RandomState(0)
+        ids = rs.randint(3, 250, (b, s))
+        ids[:, 5] = cfg.im_gen_token_id
+        labels = ids.copy()
+        batch = {
+            "input_ids": jnp.asarray(ids),
+            "labels": jnp.asarray(labels),
+            "attention_mask": jnp.ones((b, s), bool),
+            "replacement_data": jnp.asarray(rs.randn(b, s, cfg.image_codec_dim), jnp.float32),
+            "replacement_type": jnp.asarray(np.full((b, s), -1)),
+            "gen_target_image": jnp.asarray(rs.randn(b, s, cfg.image_codec_dim), jnp.float32),
+            "gen_mask_image": jnp.asarray(ids == cfg.im_gen_token_id),
+        }
+        batch = {
+            k: _jax.device_put(
+                v, _jax.sharding.NamedSharding(mesh8, sh.batch_spec(getattr(v, "ndim", 1)))
+            ) for k, v in batch.items()
+        }
+        state, metrics = train_step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
