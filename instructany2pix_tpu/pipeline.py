@@ -493,6 +493,53 @@ class InstructAny2PixPipeline:
     def polar_intrtpolate(self, x, y, alpha):  # reference name preserved
         return sampler_lib.polar_interpolate(x, y, alpha)
 
+    # ------------------------------------------------------------ text2img
+
+    def text2img(
+        self,
+        prompt: str,
+        negative_prompt: str = "",
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        seed: int = 0,
+        ip_embeds: Optional[np.ndarray] = None,
+        ip_scale: float = 1.0,
+    ) -> np.ndarray:
+        """Plain SDXL text-to-image generation — the live counterpart of
+        the reference's vendored StableDiffusionXLPipeline fork
+        (reference ddim/sdxl_pipeline.py:544-889, a pinned diffusers
+        copy shadowed on import): dual-text-encoder prompt embedding,
+        CFG denoise from Gaussian noise on the SDXL schedule, VAE
+        decode. `ip_embeds` optionally conditions through the
+        IP-Adapter (global mode) like IPAdapterXL.generate without an
+        init image."""
+        c = self.cfg
+        kc = KeyChain(seed)
+        ctx_p, pooled_p = self._encode_sdxl_prompt(prompt)
+        ctx_n, pooled_n = self._encode_sdxl_prompt(negative_prompt)
+        tid = sampler_lib.default_time_ids(c.image_size, c.image_size, 1)
+        # VAE spatial factor: 2^(levels-1) — 8 for SDXL, derived so tiny
+        # configs decode back to cfg.image_size
+        h = c.image_size // (2 ** (len(c.vae.block_out_channels) - 1))
+        # DDIM init_noise_sigma == 1.0 (diffusers) — raw Gaussian start
+        lat = jax.random.normal(kc(), (1, h, h, 4))
+        ip_cond = ip_uncond = None
+        if ip_embeds is not None:
+            ip_cond, ip_uncond = ipa.get_image_embeds(
+                self.params["image_proj"], c.image_proj,
+                clip_image_embeds=jnp.asarray(ip_embeds).reshape(1, -1),
+                mode="global",
+            )
+        lat = sampler_lib.denoise(
+            self.params["unet"], c.unet, self.schedule, lat,
+            ctx_p, ctx_n, pooled_p, pooled_n, tid,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            ip_tokens=ip_cond, ip_tokens_uncond=ip_uncond, ip_scale=ip_scale,
+        )
+        img = vae_lib.decode(self.params["vae"], lat, c.vae)
+        return image_io.from_model_range(np.asarray(img[0]))
+
     # ------------------------------------------------------------- __call__
 
     def __call__(

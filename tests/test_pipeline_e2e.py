@@ -161,3 +161,17 @@ def test_refiner_uses_50_step_grid(pipe, media, monkeypatch):
     assert captured["num_inference_steps"] == pl.REFINER_NUM_STEPS == 50
     assert captured["strength"] == 0.5
     assert captured["guidance_scale"] == 5.0
+
+
+def test_text2img_entry(pipe):
+    """Plain SDXL text2img — live counterpart of the reference's
+    shadowed StableDiffusionXLPipeline fork (ddim/sdxl_pipeline.py)."""
+    img = pipe.text2img("a cat in an antique shop", num_inference_steps=2, seed=3)
+    assert img.shape == (pipe.cfg.image_size, pipe.cfg.image_size, 3)
+    assert img.dtype == np.uint8 and img.std() > 0
+    img2 = pipe.text2img("a cat in an antique shop", num_inference_steps=2, seed=3)
+    np.testing.assert_array_equal(img, img2)  # seeded determinism
+    # IP-conditioned variant
+    emb = np.random.RandomState(0).randn(pipe.cfg.image_proj.clip_embeddings_dim)
+    img3 = pipe.text2img("a cat", num_inference_steps=2, seed=3, ip_embeds=emb)
+    assert img3.std() > 0
