@@ -236,11 +236,22 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False)
 
 
 def pallas_qmatmul(
-    x: jax.Array, q: dict, block_n: int = 512, interpret: Optional[bool] = None
+    x: jax.Array, q: dict, block_n: int = 1024, interpret: Optional[bool] = None
 ) -> jax.Array:
     """Small-M (decode) quantized matmul via Pallas. x: (..., K);
     q: {"w_q": (K, N) int8} or {"w_q4": (K/2, N) int8}, with "scale"
-    (N,) per-channel or "gscale" (K/group, N) blockwise (int4 only)."""
+    (N,) per-channel or "gscale" (K/group, N) blockwise (int4 only).
+
+    Block-width tuning (r3, v5e, 4096×11008 matvec in-loop): per-grid-
+    step overhead is ≈0.3 µs, so wider N blocks win — 93.8 µs at
+    BN=128, 78.0 at 256, 71.7 at 512, 68.7 at 1024. The VMEM cap
+    therefore bounds the PACKED bytes streamed per block (k·bn·bits/8),
+    not k·bn: int4's half-size packing earns it 2× the block width. At
+    the llama `down` shape (K=11008, int4) this moves BN 128→512:
+    101.9 µs (an A/B'd two-way K-split at wide BN) vs 70.2 µs no-split
+    per-channel / 80.0 µs grouped; BN=1024 is flat for per-channel
+    (71.1) and fails to compile for grouped at K=11008 — 512 is the
+    cap's landing point there, 1024 at K=4096 (measured 68.7)."""
     from jax.experimental import pallas as pl
 
     if interpret is None:
@@ -256,11 +267,15 @@ def pallas_qmatmul(
     for s in lead:
         m *= s
     x2 = x.reshape(m, k)
+
     while n % block_n:
         block_n //= 2
-    # VMEM budget: packed block + unpacked bf16 tile (+ double
-    # buffering) must stay well under the 16 MB scoped limit
-    while block_n > 128 and k * block_n * (2 + bits / 8) > 6e6:
+    # VMEM budget: the double-buffered PACKED weight block plus the
+    # dequantized tile must stay under the 16 MB scoped limit. Bound
+    # the packed bytes (k·bn·bits/8 ≤ 4.2 MB): int8 caps at the
+    # measured-best 4096×1024 config; int4's half-size rows allow 2×
+    # wider blocks (11008×512 / 4096×1024) — see the docstring A/B.
+    while block_n > 128 and k * block_n * bits / 8 > 4.2e6:
         block_n //= 2
     if grouped:
         scales = q["gscale"].astype(jnp.float32)  # (G, N)

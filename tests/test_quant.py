@@ -195,3 +195,24 @@ def test_fuse_projections_skips_lora_and_mixed_layers():
     assert "qkv" not in fused["layer_0"]  # LoRA on q blocks qkv fusion
     assert "gate_up" in fused["layer_0"]  # untouched projections still fuse
     assert "qkv" in fused["layer_1"]
+
+
+def test_pallas_qmatmul_long_k_matches():
+    """K>8192 (llama `down`-shaped) decode matvecs run at a wider
+    block_n under the bits-aware VMEM cap — both formats must still
+    match the XLA path at that routing."""
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(0)
+    K, N = 11008, 512
+    w = jnp.asarray(rs.randn(K, N).astype(np.float32) * 0.02)
+    x = jnp.asarray(rs.randn(1, K).astype(np.float32))
+    q8 = Q.quantize_weight(w)
+    want = (x @ q8["w_q"].astype(x.dtype)) * q8["scale"]
+    got = Q.pallas_qmatmul(x, q8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-3)
+
+    q4 = Q.quantize_weight_int4(w)
+    want4 = Q.int4_matmul(x, q4)
+    got4 = Q.pallas_qmatmul(x, q4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(want4), atol=1e-3, rtol=1e-3)
