@@ -10,7 +10,6 @@ sources — the kernel itself stays uniform.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -19,16 +18,17 @@ import jax.numpy as jnp
 from .flash_attention import _reference_attention, flash_attention
 
 
-def _on_tpu() -> bool:
+def _tpu_available() -> bool:
+    # Deliberately NOT lru_cached: the backend can change mid-process
+    # (dryrun_multichip re-inits a virtual CPU mesh after entry() ran on
+    # the real chip) and a stale True routes 256-token attention to the
+    # Pallas kernel on CPU, which only supports interpret mode.
+    # jax.default_backend() is itself memoized per-backend, so this is
+    # cheap at trace time.
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
-
-
-@functools.lru_cache(maxsize=1)
-def _tpu_available() -> bool:
-    return _on_tpu()
 
 
 def dot_product_attention(

@@ -98,3 +98,17 @@ def test_group_norm_xla_matches_manual(rng, silu):
     if silu:
         y = y / (1 + np.exp(-y)) * 1.0 if False else y * (1 / (1 + np.exp(-y)))
     np.testing.assert_allclose(np.asarray(out), y, atol=1e-4, rtol=1e-4)
+
+
+def test_attention_routing_tracks_backend_switches(monkeypatch):
+    """The flash/XLA routing re-reads the backend at every call: a
+    process that ran on the real chip and then re-initialised a virtual
+    CPU mesh (``__graft_entry__.dryrun_multichip``) must stop routing to
+    the Pallas kernel, which is TPU-only outside interpret mode. A
+    cached check here once crashed the driver's multichip gate."""
+    from instructany2pix_tpu.ops import attention as A
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    assert A._tpu_available()
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not A._tpu_available()
