@@ -267,6 +267,17 @@ def pallas_qmatmul(
     for s in lead:
         m *= s
     x2 = x.reshape(m, k)
+    out_dtype = x2.dtype
+    if bits == 4:
+        # f32 activations make the int4 kernel faster, not slower (r3
+        # A/B, weights-as-args + host-readback sync): the i32→f32
+        # dequant convert is a single VPU op where i32→bf16 round-trips
+        # through f32, and the grouped per-partial-dot scaling stays in
+        # f32 end-to-end. Grouped at the four 7B decode shapes:
+        # 83.6/48.6/127.5/79.1 µs bf16-x → 69.3/43.2/111.0/68.0 f32-x
+        # (−14 %, closing to within 2 % of per-channel); per-channel
+        # −1 %. M≤16 rows keep the extra x bytes negligible.
+        x2 = x2.astype(jnp.float32)
 
     while n % block_n:
         block_n //= 2
