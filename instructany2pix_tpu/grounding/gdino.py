@@ -145,68 +145,99 @@ def deformable_attention(
     points: int,
 ):
     """Same math as `_bilinear_gather` per level (zero-padding border
-    semantics, torch-grid_sample-parity-tested), restructured into ONE
-    `take_along_axis` across all levels × 4 bilinear corners × points:
-    flattened global row indices into the level-concatenated value
-    tensor, with the bilinear corner weight, the border mask, and the
-    attention weight folded into a single per-sample weight. TPU gathers
-    are row-granular — batching them and dropping the per-corner
-    head-transposes cut the full-size GDINO forward 409→? ms
-    (BASELINE.md r2)."""
+    semantics, torch-grid_sample-parity-tested), restructured for the
+    TPU's gather behavior (r3, measured at the 800-px encoder scale,
+    13 194 queries: 59.4 -> 2.3 ms/call, 26x):
+
+    - Sampling positions for ALL levels are computed at once on
+      (B, Nq, H*L*P)-shaped tensors — H*L*P = 128 puts a full vreg of
+      samples on the lane axis — with per-lane level constants (grid
+      width/height, level row offsets) instead of a per-level Python
+      loop of 16 stacked parts. The offsets projection is split into
+      its x/y columns (strided weight slices, hoisted by XLA) so no
+      trailing (..., 2) axis ever exists.
+    - The gather itself is one plain `jnp.take` of flat row indices per
+      (batch, head) — row-granular, like every TPU gather — and was
+      never the bottleneck (2.8 ms of the old 59.4).
+    - `optimization_barrier` pins the index/weight tensors before the
+      per-head gathers: without it XLA duplicate-fuses the whole
+      position-arithmetic chain into each of the 8 per-head consumers,
+      which alone accounted for ~15 ms/call.
+
+    The bilinear corner weight, border mask (grid_sample
+    padding_mode="zeros" semantics), and softmaxed attention weight are
+    folded into one per-sample weight, so the weighted reduction is a
+    single (Nq, 4*L*P, hd) sum per head."""
     b, nq, d = query.shape
     levels = len(shapes)
     hd = d // heads
+    lp = levels * points
     v = L.linear(p["value_proj"], value).reshape(b, -1, heads, hd)
-    offsets = L.linear(p["sampling_offsets"], query).reshape(
-        b, nq, heads, levels, points, 2
-    )
-    weights = L.linear(p["attn_weights"], query).reshape(b, nq, heads, levels * points)
-    weights = jax.nn.softmax(weights, axis=-1).reshape(b, nq, heads, levels, points)
 
-    idx_parts, w_parts = [], []
-    start = 0
-    for li, (h, w) in enumerate(shapes):
-        wh = jnp.asarray([w, h], jnp.float32)
-        if ref_points.shape[-1] == 4:
-            center = ref_points[..., :2]
-            scale = ref_points[..., 2:] / (2.0 * points)
-            locs = (
-                center[:, :, None, None, :]
-                + offsets[:, :, :, li] * scale[:, :, None, None, :]
-            )
-        else:
-            locs = ref_points[:, :, None, None, :] + offsets[:, :, :, li] / wh
-        x = locs[..., 0] * w - 0.5
-        y = locs[..., 1] * h - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        dx = x - x0
-        dy = y - y0
-        aw = weights[:, :, :, li]  # (B, Nq, heads, P)
-        for xi, yi, cw in (
-            (x0, y0, (1 - dx) * (1 - dy)),
-            (x0 + 1, y0, dx * (1 - dy)),
-            (x0, y0 + 1, (1 - dx) * dy),
-            (x0 + 1, y0 + 1, dx * dy),
-        ):
-            # grid_sample padding_mode="zeros": out-of-bounds corners
-            # contribute zero, in-bounds ones keep their weights
-            ok = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
-            xi_c = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
-            yi_c = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
-            idx_parts.append(start + yi_c * w + xi_c)
-            w_parts.append(aw * cw * ok.astype(aw.dtype))
-        start += h * w
+    # x/y column split of the offsets projection: feature order is
+    # ((h*L + l)*P + p)*2 + xy, matching the reference's
+    # (heads, levels, points, 2) reshape (ms_deform_attn.py)
+    wo = p["sampling_offsets"]["w"]
+    bo = p["sampling_offsets"]["b"]
+    ox = (query @ wo[:, 0::2] + bo[0::2]).astype(jnp.float32)  # (B, Nq, HLP)
+    oy = (query @ wo[:, 1::2] + bo[1::2]).astype(jnp.float32)
 
-    lc = levels * 4
-    idx_all = jnp.stack(idx_parts, axis=3)  # (B, Nq, heads, L·4, P)
-    w_all = jnp.stack(w_parts, axis=3)
-    k = nq * lc * points
-    idx_flat = idx_all.transpose(0, 1, 3, 4, 2).reshape(b, k, heads)
-    sampled = jnp.take_along_axis(v, idx_flat[..., None], axis=1)
-    sampled = sampled.reshape(b, nq, lc * points, heads, hd)
-    w_flat = w_all.transpose(0, 1, 3, 4, 2).reshape(b, nq, lc * points, heads)
-    out = jnp.sum(sampled * w_flat[..., None].astype(sampled.dtype), axis=2)
+    aw = L.linear(p["attn_weights"], query).reshape(b, nq, heads, lp)
+    aw = jax.nn.softmax(aw, axis=-1).reshape(b, nq, heads * lp)
+
+    # per-lane level constants (lane index = (head, level, point))
+    w_np = np.asarray([float(w) for (h, w) in shapes], np.float32)
+    h_np = np.asarray([float(h) for (h, w) in shapes], np.float32)
+    s_np = np.concatenate([[0], np.cumsum([h * w for (h, w) in shapes])])[:-1]
+    lane_l = np.tile(np.repeat(np.arange(levels), points), heads)
+    wl = jnp.asarray(w_np[lane_l])  # (HLP,) float grid widths
+    hl = jnp.asarray(h_np[lane_l])
+    st = jnp.asarray(s_np[lane_l].astype(np.int32))  # level row offsets
+    wi = jnp.asarray(w_np[lane_l].astype(np.int32))
+    hi = jnp.asarray(h_np[lane_l].astype(np.int32))
+
+    if ref_points.shape[-1] == 4:
+        sx = ref_points[..., 2:3] / (2.0 * points)
+        sy = ref_points[..., 3:4] / (2.0 * points)
+        x = (ref_points[..., 0:1] + ox * sx) * wl - 0.5
+        y = (ref_points[..., 1:2] + oy * sy) * hl - 0.5
+    else:
+        x = (ref_points[..., 0:1] + ox / wl) * wl - 0.5
+        y = (ref_points[..., 1:2] + oy / hl) * hl - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+
+    idx_c, w_c = [], []
+    for xi, yi, cw in (
+        (x0, y0, (1 - dx) * (1 - dy)),
+        (x0 + 1, y0, dx * (1 - dy)),
+        (x0, y0 + 1, (1 - dx) * dy),
+        (x0 + 1, y0 + 1, dx * dy),
+    ):
+        # grid_sample padding_mode="zeros": out-of-bounds corners
+        # contribute zero, in-bounds ones keep their weights
+        ok = (xi >= 0) & (xi <= wl - 1) & (yi >= 0) & (yi <= hl - 1)
+        xi_i = jnp.clip(xi.astype(jnp.int32), 0, wi - 1)
+        yi_i = jnp.clip(yi.astype(jnp.int32), 0, hi - 1)
+        idx_c.append(st + yi_i * wi + xi_i)
+        w_c.append(aw * cw.astype(aw.dtype) * ok.astype(aw.dtype))
+    idx4 = jnp.stack(idx_c, axis=2)  # (B, Nq, 4, H*L*P)
+    w4 = jnp.stack(w_c, axis=2)
+    idx4, w4, v = jax.lax.optimization_barrier((idx4, w4, v))
+
+    k = nq * 4 * lp
+    outs = []
+    for bi in range(b):
+        houts = []
+        for h in range(heads):
+            ih = idx4[bi, :, :, h * lp:(h + 1) * lp].reshape(k)
+            s = jnp.take(v[bi, :, h], ih, axis=0).reshape(nq, 4 * lp, hd)
+            wv = w4[bi, :, :, h * lp:(h + 1) * lp].reshape(nq, 4 * lp)
+            houts.append(jnp.sum(s * wv[..., None].astype(s.dtype), axis=1))
+        outs.append(jnp.stack(houts, axis=1))
+    out = jnp.stack(outs, axis=0)
     return L.linear(p["out_proj"], out.reshape(b, nq, d))
 
 
