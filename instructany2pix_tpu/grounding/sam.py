@@ -86,15 +86,22 @@ def _get_rel_pos(rel_pos, q_size, k_size):
 
 def _attn_with_relpos(q, k, v, p, hw, heads):
     """q,k,v: (B*, N, H, D) over an hw×hw token grid with decomposed
-    relative position bias."""
+    relative position bias.
+
+    Matmuls run in the INPUT dtype with f32 accumulation
+    (preferred_element_type): f32 params (golden parity tests) keep
+    exact f32 math; the bf16 serving path (make_segmentor) gets MXU
+    bf16 throughput instead of 4×-slower f32 systolic passes — the
+    softmax and the bias accumulation stay f32 either way."""
     b, n, h, d = q.shape
     scale = d**-0.5
-    attn = jnp.einsum("bnhd,bmhd->bhnm", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
-    rh = _get_rel_pos(p["rel_pos_h"], hw, hw).astype(jnp.float32)  # (hw, hw, d)
-    rw = _get_rel_pos(p["rel_pos_w"], hw, hw).astype(jnp.float32)
-    qg = q.reshape(b, hw, hw, h, d).astype(jnp.float32)
-    bias_h = jnp.einsum("byxhd,yud->bhyxu", qg, rh)  # (b,h,y,x,y')
-    bias_w = jnp.einsum("byxhd,xvd->bhyxv", qg, rw)  # (b,h,y,x,x')
+    f32 = jnp.float32
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=f32) * scale
+    rh = _get_rel_pos(p["rel_pos_h"], hw, hw).astype(q.dtype)  # (hw, hw, d)
+    rw = _get_rel_pos(p["rel_pos_w"], hw, hw).astype(q.dtype)
+    qg = q.reshape(b, hw, hw, h, d)
+    bias_h = jnp.einsum("byxhd,yud->bhyxu", qg, rh, preferred_element_type=f32)
+    bias_w = jnp.einsum("byxhd,xvd->bhyxv", qg, rw, preferred_element_type=f32)
     attn = attn.reshape(b, h, hw, hw, hw, hw)
     attn = attn + bias_h[..., :, None] + bias_w[..., None, :]
     attn = attn.reshape(b, h, n, n)
@@ -439,9 +446,51 @@ def predict_box_mask(params, cfg: SAMConfig, img: np.ndarray, box_xyxy) -> np.nd
     return np.asarray(full > 0.0, np.float32)
 
 
-def make_segmentor(params, cfg: SAMConfig):
+def make_segmentor(params, cfg: SAMConfig, dtype=jnp.bfloat16):
+    """Serving-path segmentor: one jitted graph (encoder + prompt +
+    decoder + fixed-size mask upsample) per image geometry, params cast
+    to `dtype` (bf16 default — the mask is thresholded at 0, and ViT-H
+    at 1024px is MXU-bound: f32 matmuls run the systolic array at ~1/4
+    rate). `predict_box_mask` stays the eager f32 reference path used
+    by the golden parity tests; dtype=None keeps checkpoint precision.
+
+    Reference: gdino/lib.py:54-67 builds SamPredictor (eager torch);
+    the jit here amortizes ~100 encoder/decoder dispatches per subject
+    into one graph."""
+    if dtype is not None:
+        params = jax.tree.map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+            else a,
+            params,
+        )
+
+    @jax.jit
+    def _core(x, box):
+        emb = encoder_apply(params["encoder"], x, cfg)
+        g = emb.shape[1]
+        sparse = encode_box(params["prompt"], box, cfg.img_size)
+        pe = dense_pe(params["prompt"], g)
+        emb = emb + params["prompt"]["no_mask"].astype(emb.dtype)
+        masks, iou = decoder_apply(params["decoder"], emb, pe, sparse, cfg)
+        best = jnp.argmax(iou[0, 1:]) + 1  # multimask: best of tokens 1..3
+        m = jnp.take(masks[0], best, axis=0).astype(jnp.float32)
+        return jax.image.resize(m, (cfg.img_size, cfg.img_size), "bilinear")
+
     def segmentor(image, box_xyxy):
-        return predict_box_mask(params, cfg, image, box_xyxy)
+        from ..codecs.image_io import _bilinear_resize
+
+        x, scale = preprocess(image, cfg)
+        box = jnp.asarray(
+            np.asarray(box_xyxy, np.float32) * scale
+        ).reshape(1, 4)
+        full = np.asarray(_core(jnp.asarray(x, dtype or jnp.float32), box))
+        h, w = image.shape[:2]
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        crop = full[:nh, :nw]
+        if (nh, nw) != (h, w):
+            crop = _bilinear_resize(crop[..., None], h, w)[..., 0]
+        return np.asarray(crop > 0.0, np.float32)
 
     return segmentor
 
