@@ -81,7 +81,9 @@ def _rel_pos_init(kc, window, head_dim, img_tokens, is_global):
 def _get_rel_pos(rel_pos, q_size, k_size):
     # SAM decomposed rel-pos lookup (sizes equal in our path)
     coords = jnp.arange(q_size)[:, None] - jnp.arange(k_size)[None, :] + (k_size - 1)
-    return rel_pos[coords]
+    # torch-ingested checkpoints carry numpy leaves; under jit the index
+    # is a tracer, and numpy.__getitem__(tracer) raises — lift to jnp
+    return jnp.asarray(rel_pos)[coords]
 
 
 def _attn_with_relpos(q, k, v, p, hw, heads):

@@ -62,18 +62,25 @@ def dot_product_attention(
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
 
-    # Measured on v5e at d=64 with 512/1024 blocks (BASELINE.md r2):
-    # flash wins at 256 tokens and 2.1-2.5× from 2048 up (2048: 556 vs
-    # 1160 µs; 4096: 1.55 vs 3.85 ms = 55.5 vs 22.2 TFLOP/s); isolated
-    # micro ties at 512-1024 but the fused XLA softmax still edges it
-    # in-graph there (512² e2e A/B: 3.797 vs 3.833 s), so that window
-    # stays on XLA.
+    # Measured on v5e at d=64 (r3, roundtrip-corrected; BASELINE.md):
+    # flash runs ~57-64 TF/s at every seq ≥ 1024, while XLA's fused
+    # softmax is bimodal in the attention-matrix footprint b·h·sq·sk —
+    # under ~32M elements it stays fused and FAST (e.g. (2,10,1024,64):
+    # 77 vs 82 µs, XLA wins), above it the f32 S matrix spills and XLA
+    # collapses ((2,20,1024,64): 493 vs 188 µs; (1,10,4096,64): 4798 vs
+    # 724 µs). Gate mid-size seqs on the footprint; keep the r2-measured
+    # 256-511 window and the unconditional ≥2048 regime.
+    footprint = b * h * sq * sk
     use_flash = impl == "flash" or (
         impl == "auto"
         and _tpu_available()
         and mask is None
         and d <= 256
-        and ((256 <= sk < 512 and sq >= 256) or (sq >= 2048 and sk >= 2048))
+        and (
+            (256 <= sk < 512 and sq >= 256)
+            or (sq >= 2048 and sk >= 2048)
+            or (sq >= 1024 and sk >= 1024 and footprint >= (32 << 20))
+        )
     )
     if use_flash:
         qt = jnp.swapaxes(q, 1, 2)

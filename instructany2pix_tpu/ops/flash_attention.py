@@ -28,11 +28,14 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-# r2 sweep at (2,10,4096,64) on v5e: 512/1024 blocks run 55.5 TFLOP/s
-# vs 28.0 for 256/256 and 22.2 for the XLA path (BASELINE.md r2) —
-# bigger q blocks amortize the online-softmax rescale, bigger k blocks
-# lengthen the MXU contractions; the kernel clamps both to the padded
-# sequence length for short inputs
+# Block sweep at (2,10,4096,64) on v5e (r3, roundtrip-corrected):
+# 512/1024 blocks run 63.8 TFLOP/s vs 58.8 for 512/512 and 23.2 for
+# the XLA path — bigger q blocks amortize the online-softmax rescale,
+# bigger k blocks lengthen the MXU contractions; the kernel clamps
+# both to the padded sequence length for short inputs. K/V for one
+# (b, h) stay fully VMEM-resident, which caps single-call seq at
+# ~8k on v5e (16 MB VMEM) — longer sequences go through
+# parallel/ring_attention.py.
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
@@ -45,7 +48,12 @@ def _flash_fwd_kernel(
     block_q = q_ref.shape[1]
     d = q_ref.shape[2]
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale
+    # Operands stay in the INPUT dtype (bf16 on the serving path): the
+    # v5e MXU is bf16-native, and an f32×f32 dot is emulated at ~1/4
+    # rate. Accumulation is f32 (preferred_element_type) and the scale
+    # is applied to the f32 logits, so softmax sees full precision —
+    # identical numerics class to _reference_attention.
+    q = q_ref[0]
     # Causality aligns q and k at the END (KV-cache convention): q row i
     # attends to keys <= i + (seq_k - seq_q).
     causal_offset = seq_k - seq_q
@@ -57,10 +65,14 @@ def _flash_fwd_kernel(
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        s = (
+            jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
         )  # (block_q, block_k)
         col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         valid = col < seq_k
@@ -198,8 +210,10 @@ def _flash_bwd_dq_kernel(
 ):
     block_q = q_ref.shape[1]
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
+    # Input-dtype operands for every MXU dot (see _flash_fwd_kernel);
+    # logits/probabilities/accumulators stay f32.
+    q = q_ref[0]
+    g = g_ref[0]
     lse = lse_ref[0]  # (block_q, 1)
     delta = delta_ref[0]
     causal_offset = seq_k - seq_q
@@ -210,8 +224,8 @@ def _flash_bwd_dq_kernel(
         num_kb = jnp.minimum(num_kb, pl.cdiv(q_end, block_k))
 
     def body(kb, dq):
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -226,10 +240,13 @@ def _flash_bwd_dq_kernel(
         )
         ds = p * (dp - delta) * scale
         return dq + jax.lax.dot_general(
-            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
-    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros_like(q))
+    dq = jax.lax.fori_loop(
+        0, num_kb, body, jnp.zeros(q.shape, jnp.float32)
+    )
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
@@ -239,8 +256,8 @@ def _flash_bwd_dkv_kernel(
 ):
     block_k = k_ref.shape[1]
     ki = pl.program_id(1)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]
+    v = v_ref[0]
     causal_offset = seq_k - seq_q
 
     num_qb = pl.cdiv(seq_q, block_q)
@@ -253,8 +270,8 @@ def _flash_bwd_dkv_kernel(
 
     def body(qb, carry):
         dk, dv = carry
-        q_blk = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        g_blk = g_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        q_blk = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        g_blk = g_ref[0, pl.ds(qb * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(qb * block_q, block_q)]  # (block_q, 1)
         delta = delta_ref[0, pl.ds(qb * block_q, block_q)]
         s = jax.lax.dot_general(
@@ -267,19 +284,21 @@ def _flash_bwd_dkv_kernel(
             valid = jnp.logical_and(valid, col <= row + causal_offset)
         p = jnp.where(valid, jnp.exp(s - lse), 0.0)
         dv = dv + jax.lax.dot_general(
-            p, g_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(g_blk.dtype), g_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             g_blk, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta) * scale
         dk = dk + jax.lax.dot_general(
-            ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(q_blk.dtype), q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return dk, dv
 
-    dk0 = jnp.zeros_like(k)
-    dv0 = jnp.zeros_like(v)
+    dk0 = jnp.zeros(k.shape, jnp.float32)
+    dv0 = jnp.zeros(v.shape, jnp.float32)
     dk, dv = jax.lax.fori_loop(qb0, num_qb, body, (dk0, dv0))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
