@@ -98,12 +98,34 @@ def _attn_with_relpos(q, k, v, p, hw, heads):
     b, n, h, d = q.shape
     scale = d**-0.5
     f32 = jnp.float32
-    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=f32) * scale
     rh = _get_rel_pos(p["rel_pos_h"], hw, hw).astype(q.dtype)  # (hw, hw, d)
     rw = _get_rel_pos(p["rel_pos_w"], hw, hw).astype(q.dtype)
     qg = q.reshape(b, hw, hw, h, d)
     bias_h = jnp.einsum("byxhd,yud->bhyxu", qg, rh, preferred_element_type=f32)
     bias_w = jnp.einsum("byxhd,xvd->bhyxv", qg, rw, preferred_element_type=f32)
+
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    if on_tpu and n >= 1024:
+        # ViT-H global blocks (n = 64²): the XLA path materializes the
+        # biased (B, H, N, N) f32 logits — ~1 GB, ~25 ms/block on v5e.
+        # The Pallas kernel streams one key-grid row per inner step and
+        # adds the decomposed bias in VMEM (ops/flash_attention.py).
+        from ..ops.flash_attention import flash_attention_relpos2d
+
+        o = flash_attention_relpos2d(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            bias_h.reshape(b, h, n, hw),
+            bias_w.reshape(b, h, n, hw),
+            scale=scale,
+        )
+        return o.transpose(0, 2, 1, 3)
+
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=f32) * scale
     attn = attn.reshape(b, h, hw, hw, hw, hw)
     attn = attn + bias_h[..., :, None] + bias_w[..., None, :]
     attn = attn.reshape(b, h, n, n)
@@ -466,33 +488,50 @@ def make_segmentor(params, cfg: SAMConfig, dtype=jnp.bfloat16):
             else a,
             params,
         )
+    # Params enter the jit as an ARGUMENT (device-committed once here):
+    # closure capture would bake the 2.4 GB ViT-H tree into the graph
+    # as constants, which the axon remote-compile relay rejects (HTTP
+    # 413) and which bloats any AOT cache key.
+    params = jax.device_put(params)
+    compute_dtype = dtype or jnp.float32
 
     @jax.jit
-    def _core(x, box):
-        emb = encoder_apply(params["encoder"], x, cfg)
+    def _core(p, img_u8, box):
+        # Pre/post-processing lives ON DEVICE: the pure-numpy bilinear
+        # resize costs ~1.2 s/call at 1024² on this host, vs ~1 ms of
+        # VPU work here. Image geometry is static per trace (one graph
+        # per geometry, as documented above).
+        h, w = img_u8.shape[:2]
+        scale = cfg.img_size / max(h, w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        x = jax.image.resize(
+            img_u8.astype(jnp.float32), (nh, nw, 3), "bilinear",
+            antialias=False,  # match the eager numpy path bit-for-bit class
+        )
+        x = (x - jnp.asarray(_PIXEL_MEAN)) / jnp.asarray(_PIXEL_STD)
+        x = jnp.pad(x, ((0, cfg.img_size - nh), (0, cfg.img_size - nw), (0, 0)))
+        x = x[None].astype(compute_dtype)
+
+        emb = encoder_apply(p["encoder"], x, cfg)
         g = emb.shape[1]
-        sparse = encode_box(params["prompt"], box, cfg.img_size)
-        pe = dense_pe(params["prompt"], g)
-        emb = emb + params["prompt"]["no_mask"].astype(emb.dtype)
-        masks, iou = decoder_apply(params["decoder"], emb, pe, sparse, cfg)
+        sparse = encode_box(p["prompt"], box * scale, cfg.img_size)
+        pe = dense_pe(p["prompt"], g)
+        emb = emb + p["prompt"]["no_mask"].astype(emb.dtype)
+        masks, iou = decoder_apply(p["decoder"], emb, pe, sparse, cfg)
         best = jnp.argmax(iou[0, 1:]) + 1  # multimask: best of tokens 1..3
         m = jnp.take(masks[0], best, axis=0).astype(jnp.float32)
-        return jax.image.resize(m, (cfg.img_size, cfg.img_size), "bilinear")
-
-    def segmentor(image, box_xyxy):
-        from ..codecs.image_io import _bilinear_resize
-
-        x, scale = preprocess(image, cfg)
-        box = jnp.asarray(
-            np.asarray(box_xyxy, np.float32) * scale
-        ).reshape(1, 4)
-        full = np.asarray(_core(jnp.asarray(x, dtype or jnp.float32), box))
-        h, w = image.shape[:2]
-        nh, nw = int(round(h * scale)), int(round(w * scale))
+        full = jax.image.resize(
+            m, (cfg.img_size, cfg.img_size), "bilinear", antialias=False
+        )
         crop = full[:nh, :nw]
         if (nh, nw) != (h, w):
-            crop = _bilinear_resize(crop[..., None], h, w)[..., 0]
-        return np.asarray(crop > 0.0, np.float32)
+            crop = jax.image.resize(crop, (h, w), "bilinear", antialias=False)
+        return crop > 0.0
+
+    def segmentor(image, box_xyxy):
+        box = jnp.asarray(np.asarray(box_xyxy, np.float32)).reshape(1, 4)
+        img = jnp.asarray(np.ascontiguousarray(image))
+        return np.asarray(_core(params, img, box), np.float32)
 
     return segmentor
 

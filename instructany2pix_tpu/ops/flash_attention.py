@@ -159,6 +159,117 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+# --------------------------------------------------------------------------
+# Flash attention with SAM-style decomposed 2D relative-position bias.
+#
+# SAM's ViT global blocks add logits bias b[t, u*g+v] = bh[t, u] + bw[t, v]
+# over a g×g key grid (segment_anything add_decomposed_rel_pos). The XLA
+# formulation materializes the biased (B, H, N, N) f32 logits — ~1 GB at
+# N=4096 — costing ~25 ms/block on v5e. Here the k-block is ONE key-grid
+# row (block_k = g), so the bias lands without any lane-crossing reshape:
+# bh contributes one scalar per (query, k-block) and bw one g-lane vector
+# per query. Inference-only (SAM encode has no training path here).
+
+
+def _flash_relpos2d_kernel(
+    q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *, scale, grid_w, block_k
+):
+    block_q = q_ref.shape[1]
+    d = q_ref.shape[2]
+    g = grid_w
+    rows = block_k // g  # key-grid rows per iteration
+    q = q_ref[0]
+    # bw repeats every g lanes across the block_k-wide logits tile; bh is
+    # constant within a row. Both land via lane-aligned ops: bw by a
+    # static tile, bh by a (block_q, g)·(g, block_k) selection matmul —
+    # Mosaic cannot load a dynamic single-lane slice, but a dot with a
+    # dynamically-built selection matrix is fine.
+    bw = bw_ref[0].astype(jnp.float32)  # (block_q, g)
+    bw_t = jnp.concatenate([bw] * rows, axis=1)  # (block_q, block_k)
+    bh_all = bh_ref[0].astype(jnp.float32)  # (block_q, g)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (g, block_k), 1) // g
+    src_row = jax.lax.broadcasted_iota(jnp.int32, (g, block_k), 0)
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        s = (
+            jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )  # (block_q, block_k)
+        sel = (src_row == kb * rows + lane_row).astype(jnp.float32)
+        bh_blk = jax.lax.dot_general(
+            bh_all, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, block_k)
+        s = s + bh_blk + bw_t
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc * alpha + pv, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, (g * g) // block_k, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def flash_attention_relpos2d(
+    q, k, v, bh, bw, *, scale=None, block_q=DEFAULT_BLOCK_Q,
+    block_k=None, interpret=False
+):
+    """Attention over a g×g token grid with decomposed rel-pos bias.
+
+    q/k/v: (B, H, N, D) with N = g²; bh/bw: (B, H, N, g) where the logit
+    for query t and key (u, v) is q·k*scale + bh[t, u] + bw[t, v].
+    Forward-only (no vjp) — serving path for SAM's global ViT blocks.
+    `block_k` must be a multiple of g (defaults to min(8·g, N)).
+    """
+    b, h, n, d = q.shape
+    g = int(round(n**0.5))
+    assert g * g == n, "relpos2d attention needs a square token grid"
+    if block_k is None:
+        block_k = min(8 * g, n)
+    assert block_k % g == 0 and n % block_k == 0
+    scale = scale if scale is not None else d**-0.5
+    block_q = min(block_q, _round_up(n, 128))
+    n_p = _round_up(n, block_q)
+    qp = _pad_to(q, n_p, 2).reshape(b * h, n_p, d)
+    kp = k.reshape(b * h, n, d)
+    vp = v.reshape(b * h, n, d)
+    bhp = _pad_to(bh, n_p, 2).reshape(b * h, n_p, g)
+    bwp = _pad_to(bw, n_p, 2).reshape(b * h, n_p, g)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_relpos2d_kernel, scale=scale, grid_w=g, block_k=block_k
+        ),
+        grid=(b * h, n_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bhid, i: (bhid, i, 0)),
+            pl.BlockSpec((1, n, d), lambda bhid, i: (bhid, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda bhid, i: (bhid, 0, 0)),
+            pl.BlockSpec((1, block_q, g), lambda bhid, i: (bhid, i, 0)),
+            pl.BlockSpec((1, block_q, g), lambda bhid, i: (bhid, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bhid, i: (bhid, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_p, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, bhp, bwp)
+    return out.reshape(b, h, n_p, d)[:, :, :n, :]
+
+
 def _reference_attention(q, k, v, causal, scale):
     # operands stay in their input dtype (bf16 on the fast path — fp32
     # OPERANDS would halve the MXU rate); accumulation is fp32, so the

@@ -10,6 +10,7 @@ from instructany2pix_tpu.ops.flash_attention import (
     _flash_fwd,
     _reference_attention,
     flash_attention,
+    flash_attention_relpos2d,
 )
 from instructany2pix_tpu.ops.groupnorm import _group_norm_xla, group_norm
 
@@ -29,6 +30,32 @@ def test_flash_fwd_matches_reference(rng, causal, sq, sk):
     scale = q.shape[-1] ** -0.5
     ref = _reference_attention(q, k, v, causal, scale)
     out = _flash_fwd(q, k, v, causal, scale, 128, 128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("g,block_q", [(16, 128), (8, 128)])
+def test_flash_relpos2d_matches_decomposed_bias(rng, g, block_q):
+    """SAM global-block attention: decomposed 2D rel-pos bias kernel vs
+    the materialized-bias einsum formulation (grounding/sam.py)."""
+    b, h, d = 1, 2, 32
+    n = g * g
+    kq, kk, kv, kh, kw = jax.random.split(rng, 5)
+    q = jax.random.normal(kq, (b, h, n, d))
+    k = jax.random.normal(kk, (b, h, n, d))
+    v = jax.random.normal(kv, (b, h, n, d))
+    bh = jax.random.normal(kh, (b, h, n, g))
+    bw = jax.random.normal(kw, (b, h, n, g))
+    scale = d**-0.5
+
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    s = s.reshape(b, h, n, g, g)
+    s = s + bh[..., :, None] + bw[..., None, :]
+    p = jax.nn.softmax(s.reshape(b, h, n, n), axis=-1)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    out = flash_attention_relpos2d(
+        q, k, v, bh, bw, block_q=block_q, interpret=True
+    )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
