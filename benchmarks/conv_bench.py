@@ -1,3 +1,4 @@
+import sys; sys.path.insert(0, "/root/repo")
 """Dev bench: SDXL conv-path formulations at the 1024^2-edit shapes.
 
 The 1024^2 e2e leftover (docs/PERF.md, VERDICT r2 weak #4): conv path
@@ -89,7 +90,7 @@ def conv_im2col(x, w, b):
 FORMS = {"xla": conv_xla, "tap9": conv_tap9, "im2col": conv_im2col}
 
 
-from timing import bench_loop, roundtrip
+from benchmarks.timing import bench_loop, roundtrip
 
 _RT = None
 

@@ -1,3 +1,4 @@
+import sys; sys.path.insert(0, "/root/repo")
 """Dev bench: flash-attention fwd at SDXL/LLM shapes after the
 bf16-operand fix (QK^T and PV dots in input dtype, f32 accumulate).
 

@@ -1,3 +1,4 @@
+import sys; sys.path.insert(0, "/root/repo")
 """Dev bench: per-piece decomposition of the SDXL-base CFG step at the
 1024² edit config (128² latents, batch 2). Times one resnet and one
 full transformer block at each level plus the level attention shapes,
@@ -12,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from timing import bench_loop, roundtrip
+from benchmarks.timing import bench_loop, roundtrip
 from instructany2pix_tpu.models import unet as U
 from instructany2pix_tpu.models import layers as L
 

@@ -1,3 +1,4 @@
+import sys; sys.path.insert(0, "/root/repo")
 import time, sys
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl

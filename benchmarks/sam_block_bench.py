@@ -1,7 +1,8 @@
+import sys; sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, numpy as np
 from instructany2pix_tpu.grounding import sam as S
 from instructany2pix_tpu.core.prng import KeyChain
-from timing import roundtrip, bench_loop
+from benchmarks.timing import roundtrip, bench_loop
 
 rt = roundtrip()
 cfg = S.SAMConfig.vit_h()

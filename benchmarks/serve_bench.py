@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, "..")
-from timing import bench_loop
+from benchmarks.timing import bench_loop
 from instructany2pix_tpu.models import unet as unet_lib
 from instructany2pix_tpu.diffusion import sampler as S
 

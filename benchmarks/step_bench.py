@@ -1,3 +1,4 @@
+import sys; sys.path.insert(0, "/root/repo")
 """Dev bench: full SDXL UNet CFG forward (batch 2) at the 512² and
 1024² edit configs, A/B'ing the flash-attention routing window.
 
@@ -14,7 +15,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from timing import bench_loop, roundtrip
+from benchmarks.timing import bench_loop, roundtrip
 from instructany2pix_tpu.diffusion import ip_adapter as ipa
 from instructany2pix_tpu.models import unet as unet_lib
 from instructany2pix_tpu.diffusion import sampler as S

@@ -1,3 +1,4 @@
+import sys; sys.path.insert(0, "/root/repo")
 """Dev bench: SAM ViT-H 1024px encode + full segmentor call on the
 real TPU chip (subject-consistency stage, BASELINE config 4).
 

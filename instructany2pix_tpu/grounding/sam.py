@@ -126,9 +126,27 @@ def _attn_with_relpos(q, k, v, p, hw, heads):
         return o.transpose(0, 2, 1, 3)
 
     attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=f32) * scale
-    attn = attn.reshape(b, h, hw, hw, hw, hw)
-    attn = attn + bias_h[..., :, None] + bias_w[..., None, :]
-    attn = attn.reshape(b, h, n, n)
+    # Expand the decomposed bias to (.., n, n) with one-hot matmuls
+    # instead of the 6D broadcast-add: the (b,h,hw,hw,hw,hw) form puts
+    # hw (14 for window blocks) on the minor axes, which pads 14→128
+    # lanes and costs ~2.7 ms of a 4.0 ms ViT-H window block (r3
+    # ablation). One-hot expansion in f32 is EXACT (each output picks a
+    # single input element), so golden parity is unchanged.
+    key_row = jnp.arange(n) // hw  # u(s)
+    key_col = jnp.arange(n) % hw  # v(s)
+    e_u = (jnp.arange(hw)[:, None] == key_row[None, :]).astype(f32)  # (hw, n)
+    e_v = (jnp.arange(hw)[:, None] == key_col[None, :]).astype(f32)
+    bias = (
+        jax.lax.dot_general(
+            bias_h.reshape(b, h, n, hw), e_u,
+            (((3,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        + jax.lax.dot_general(
+            bias_w.reshape(b, h, n, hw), e_v,
+            (((3,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+    )
+    attn = attn + bias
     attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(v.dtype), v)
     return out
