@@ -1,8 +1,9 @@
-"""Batched-serving CFG denoise throughput at 512² (batch 1/2/4/8) —
-the footprint routing sends batch≥4 seq-1024 attention to flash
-((4,20,1024,64) = 84M ≥ 32M), which the r2 serving numbers predate.
+"""Batched-serving CFG denoise throughput at 512². The loop sweeps
+CFG batch 2/8/16 = 1/4/8 images per step; the footprint routing sends
+batch≥4 seq-1024 attention to flash ((4,20,1024,64) = 84M ≥ 32M),
+which the r2 serving numbers predate.
 
-Run alone on the real chip from benchmarks/.
+Run alone on the real chip from the repo root.
 """
 import sys
 import time

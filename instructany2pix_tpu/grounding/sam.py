@@ -104,11 +104,13 @@ def _attn_with_relpos(q, k, v, p, hw, heads):
     bias_h = jnp.einsum("byxhd,yud->bhyxu", qg, rh, preferred_element_type=f32)
     bias_w = jnp.einsum("byxhd,xvd->bhyxv", qg, rw, preferred_element_type=f32)
 
-    try:
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        on_tpu = False
-    if on_tpu and n >= 1024:
+    from ..ops.attention import _tpu_available
+
+    # bf16-only gate: f32 callers (predict_box_mask, the golden-parity
+    # reference path) keep the exact XLA softmax; the forward-only
+    # Pallas kernel serves the bf16 serving path. g must divide into a
+    # valid block_k (see flash_attention_relpos2d).
+    if _tpu_available() and n >= 1024 and q.dtype == jnp.bfloat16:
         # ViT-H global blocks (n = 64²): the XLA path materializes the
         # biased (B, H, N, N) f32 logits — ~1 GB, ~25 ms/block on v5e.
         # The Pallas kernel streams one key-grid row per inner step and
@@ -500,9 +502,15 @@ def make_segmentor(params, cfg: SAMConfig, dtype=jnp.bfloat16):
     the jit here amortizes ~100 encoder/decoder dispatches per subject
     into one graph."""
     if dtype is not None:
+        # dtype read off the leaf itself (numpy stays on host) —
+        # jnp.asarray here would device-put the full 2.4 GB f32 tree
+        # just to ask its dtype
         params = jax.tree.map(
             lambda a: a.astype(dtype)
-            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+            if jnp.issubdtype(
+                a.dtype if hasattr(a, "dtype") else np.asarray(a).dtype,
+                jnp.floating,
+            )
             else a,
             params,
         )

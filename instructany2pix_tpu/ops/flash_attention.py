@@ -240,7 +240,10 @@ def flash_attention_relpos2d(
     g = int(round(n**0.5))
     assert g * g == n, "relpos2d attention needs a square token grid"
     if block_k is None:
-        block_k = min(8 * g, n)
+        # block_k = r·g with r | g so that block_k | n = g²; largest
+        # r ≤ 8 (the measured sweet spot at g=64 → block_k 512)
+        r = max(x for x in range(1, min(8, g) + 1) if g % x == 0)
+        block_k = r * g
     assert block_k % g == 0 and n % block_k == 0
     scale = scale if scale is not None else d**-0.5
     block_q = min(block_q, _round_up(n, 128))
