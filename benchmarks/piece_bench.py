@@ -1,10 +1,11 @@
 import sys; sys.path.insert(0, "/root/repo")
-"""Dev bench: per-piece decomposition of the SDXL-base CFG step at the
-1024² edit config (128² latents, batch 2). Times one resnet and one
-full transformer block at each level plus the level attention shapes,
-roundtrip-corrected, so the step's 119.6 ms can be attributed.
+"""Per-piece decomposition of the SDXL-base CFG step (batch 2).
 
-Run alone on the real chip.
+    python benchmarks/piece_bench.py [latent_hw]   # 128 (1024² edit, default) or 64 (512²)
+
+Times one resnet and one full transformer block at each level so the
+full step (119.6 ms at 128², 27.7 ms at 64²) can be attributed.
+Run alone on the real chip from the repo root.
 """
 
 import time
@@ -19,6 +20,9 @@ from instructany2pix_tpu.models import layers as L
 
 
 def main():
+    import sys as _sys
+
+    lat = int(_sys.argv[1]) if len(_sys.argv) > 1 else 128
     rt = roundtrip()
     print(f"device {jax.devices()[0].device_kind}  rt {rt*1e3:.1f}ms", flush=True)
     kc_key = [jax.random.PRNGKey(0)]
@@ -34,9 +38,9 @@ def main():
     # (spatial, channels, heads, tdepth, n_resnets, n_tblocks) per level
     # at 128² latents; resnet/tblock counts = down+up+mid totals
     LEVELS = [
-        (128, 320, None, 0, 5, 0),
-        (64, 640, 10, 2, 5, 5),
-        (32, 1280, 20, 10, 7, 5),
+        (lat, 320, None, 0, 5, 0),
+        (lat // 2, 640, 10, 2, 5, 5),
+        (lat // 4, 1280, 20, 10, 7, 5),
     ]
 
     total = 0.0
@@ -74,7 +78,7 @@ def main():
             total += t_tb * n_tb
         print(line, flush=True)
 
-    print(f"sum of pieces ≈ {total*1e3:.1f} ms (measured full step: 119.6 ms)", flush=True)
+    print(f"sum of pieces ≈ {total*1e3:.1f} ms (full step: 119.6 ms at 128², 27.7 at 64²)", flush=True)
 
 
 if __name__ == "__main__":
