@@ -17,7 +17,8 @@ BASELINE.md: 10.1 ms/token ≈ the int8 floor, not the 16.5 ms bf16
 floor).
 
 int4 uses the same contract with two nibbles packed per int8 byte
-("w_q4", (in/2, out), half-split rows), with either per-channel
+("w_q4", (in/2, out), even/odd-interleaved rows — `_pack_nibbles`),
+with either per-channel
 "scale" (N,) or blockwise "gscale" (K/128, N) — the NF4/GPTQ-class
 scheme matching the reference's bnb-NF4 quality. STATUS (r2, v5e):
 decode (M≤16) routes through `pallas_qmatmul` via `layers.linear` —
@@ -49,19 +50,28 @@ def dequantize_weight(q: dict, dtype=jnp.float32) -> jax.Array:
     return q["w_q"].astype(dtype) * q["scale"].astype(dtype)[None, :]
 
 
+def _pack_nibbles(q: jax.Array) -> jax.Array:
+    """(in, out) int8 values in [-7,7] → (in/2, out) packed bytes,
+    EVEN/ODD interleaved: row 2i in the low nibble, row 2i+1 in the
+    high nibble of byte row i. This is exactly the layout
+    `pltpu.bitcast(packed, int4)` reinterprets back into original row
+    order (out[2i]=lo(in[i]), out[2i+1]=hi(in[i]) — probed on this
+    toolchain, deterministic, signed) — so the decode kernel's unpack
+    is ONE native int4 convert instead of a shift/mask/concat VPU
+    chain, and scale groups stay contiguous."""
+    lo = q[0::2] & 0x0F
+    hi = (q[1::2] & 0x0F) << 4
+    return (lo | hi).astype(jnp.int8)
+
+
 def quantize_weight_int4(w: jax.Array) -> dict:
-    """(in, out) → packed int4 + scale. Packing is HALF-SPLIT (row i of
-    the first half in the low nibble, row i+in/2 in the high nibble) so
-    unpacking is a plain sublane concat — no interleave relayout, and
-    Mosaic-friendly. `in` must be even."""
+    """(in, out) → packed int4 + per-channel scale. `in` must be even;
+    packing layout in `_pack_nibbles`."""
     w = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(w), axis=0)
     scale = jnp.where(amax > 0, amax / 7.0, 1.0)
     q = jnp.clip(jnp.round(w / scale[None, :]), -7, 7).astype(jnp.int8)
-    half = q.shape[0] // 2
-    lo = q[:half] & 0x0F
-    hi = (q[half:] & 0x0F) << 4
-    return {"w_q4": (lo | hi).astype(jnp.int8), "scale": scale}
+    return {"w_q4": _pack_nibbles(q), "scale": scale}
 
 
 def quantize_weight_int4_grouped(w: jax.Array, group: int = 128) -> dict:
@@ -69,8 +79,9 @@ def quantize_weight_int4_grouped(w: jax.Array, group: int = 128) -> dict:
     scales along the contraction dim are what make 4-bit weight-only
     usable on a 7B (the reference's bitsandbytes NF4 uses 64-wide
     blocks, pipeline.py:30; GPTQ/AWQ use 128): one outlier no longer
-    poisons a whole column. `in` must be divisible by 2*group so the
-    half-split nibble packing never straddles a scale group."""
+    poisons a whole column. `in` must be divisible by 2*group; the
+    even/odd nibble packing keeps each byte (rows 2i, 2i+1) inside one
+    scale group."""
     k, n = w.shape
     assert k % (2 * group) == 0, (k, group)
     w = w.astype(jnp.float32)
@@ -80,10 +91,7 @@ def quantize_weight_int4_grouped(w: jax.Array, group: int = 128) -> dict:
     gscale = jnp.where(amax > 0, amax / 7.0, 1.0)
     q = jnp.clip(jnp.round(wg / gscale[:, None, :]), -7, 7)
     q = q.reshape(k, n).astype(jnp.int8)
-    half = k // 2
-    lo = q[:half] & 0x0F
-    hi = (q[half:] & 0x0F) << 4
-    return {"w_q4": (lo | hi).astype(jnp.int8), "gscale": gscale}
+    return {"w_q4": _pack_nibbles(q), "gscale": gscale}
 
 
 def _group_of(q: dict) -> int:
@@ -100,18 +108,41 @@ def dequantize_weight_int4_grouped(q: dict, dtype=jnp.float32) -> jax.Array:
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
     """(in/2, out) packed → (in, out) int8-valued in [-7, 7] (int32
-    carrier — Mosaic cannot shift i8 vectors)."""
+    carrier — Mosaic cannot shift i8 vectors). Inverse of
+    `_pack_nibbles`: rows come back interleaved into original order.
+    This is the XLA/interpret fallback; the TPU decode kernel
+    reinterprets the same bytes with one `pltpu.bitcast` instead."""
     p32 = packed.astype(jnp.int32)
-    lo = (p32 << 28) >> 28  # sign-extend low nibble
-    hi = (p32 << 24) >> 28  # sign-extend high nibble
-    return jnp.concatenate([lo, hi], axis=0)
+    lo = (p32 << 28) >> 28  # sign-extend low nibble  → rows 0,2,4,…
+    hi = (p32 << 24) >> 28  # sign-extend high nibble → rows 1,3,5,…
+    half, n = packed.shape
+    return jnp.stack([lo, hi], axis=1).reshape(2 * half, n)
+
+
+def _nibble_planes(packed: jax.Array, dtype) -> tuple:
+    """(K/2, N) packed → (lo, hi) sign-extended planes: lo[i] = orig
+    row 2i, hi[i] = orig row 2i+1."""
+    p32 = packed.astype(jnp.int32)
+    lo = ((p32 << 28) >> 28).astype(dtype)
+    hi = ((p32 << 24) >> 28).astype(dtype)
+    return lo, hi
 
 
 def int4_matmul(x: jax.Array, q: dict) -> jax.Array:
+    """XLA (prefill / large-M) path. With the even/odd interleaved
+    packing, x @ unpack(W) decomposes into two dots on the nibble
+    planes with x's columns sliced even/odd — no row interleave of the
+    (K, N) kernel ever materializes (a plain strided slice of the small
+    activation replaces a full-weight relayout):
+      x @ W = x[:, 0::2] @ lo + x[:, 1::2] @ hi."""
+    lo, hi = _nibble_planes(q["w_q4"], x.dtype)
     if "gscale" in q:
-        return x @ dequantize_weight_int4_grouped(q, x.dtype)
-    w = unpack_int4(q["w_q4"]).astype(x.dtype)
-    return (x @ w) * q["scale"].astype(x.dtype)
+        # byte row i (orig rows 2i, 2i+1) sits inside one scale group —
+        # both planes share the per-(group/2 packed rows) scales
+        s = jnp.repeat(q["gscale"].astype(x.dtype), _group_of(q) // 2, axis=0)
+        return x[..., 0::2] @ (lo * s) + x[..., 1::2] @ (hi * s)
+    y = x[..., 0::2] @ lo + x[..., 1::2] @ hi
+    return y * q["scale"].astype(x.dtype)
 
 
 _DEFAULT_PATTERN = re.compile(
@@ -200,7 +231,8 @@ def quantize_llama(params, bits: int = 8, free_originals: bool = False,
 # ------------------------------------------------- Pallas decode kernel
 
 
-def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False):
+def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False,
+                interpret: bool = False):
     """One output tile of x @ dequant(W): x (M, K) resident, W block
     (K, bn) int8 (or (K/2, bn) packed int4) dequantized in VMEM — the
     bf16 kernel never exists in HBM, so decode reads bits/8 bytes per
@@ -208,10 +240,20 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False)
     pipeline.py:30). Dequant lands in the activation dtype — for the
     production bf16 path that's exact for int8/int4 magnitudes (≤255
     fits bf16's 8-bit mantissa) and halves the VMEM footprint of the
-    unpacked tile vs f32."""
+    unpacked tile vs f32. int4 on TPU reinterprets the packed bytes
+    with `pltpu.bitcast(…, int4)` — thanks to the even/odd nibble
+    packing (`_pack_nibbles`) the rows land in original order, so the
+    whole unpack is one native int4→float convert (the r2/r3 shift+
+    mask+concat chain was the VPU work that kept decode off the HBM
+    floor); interpret mode (CPU tests) keeps the shift-unpack."""
     w = w_ref[:]
     if bits == 4:
-        w = unpack_int4(w)
+        if interpret:
+            w = unpack_int4(w)
+        else:
+            from jax.experimental.pallas import tpu as pltpu
+
+            w = pltpu.bitcast(w, jnp.int4)  # (K, bn), original row order
     x = x_ref[:]
     if grouped:
         # blockwise scales (G, bn): one partial dot per scale group,
@@ -295,7 +337,9 @@ def pallas_qmatmul(
         # mismatches (T(1024) vs T(bn))
         scales = q["scale"].reshape(1, -1).astype(jnp.float32)
     out = pl.pallas_call(
-        __import__("functools").partial(_qmv_kernel, bits=bits, grouped=grouped),
+        __import__("functools").partial(
+            _qmv_kernel, bits=bits, grouped=grouped, interpret=interpret
+        ),
         grid=(n // block_n,),
         in_specs=[
             pl.BlockSpec((m, k), lambda i: (0, 0)),

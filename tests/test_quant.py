@@ -25,9 +25,14 @@ def test_int8_roundtrip_error_bounded():
 def test_int4_pack_unpack_exact():
     rs = np.random.RandomState(1)
     q = jnp.asarray(rs.randint(-7, 8, (16, 8)).astype(np.int8))
-    lo = q[:8] & 0x0F  # half-split packing: first half rows in low nibble
-    hi = (q[8:] & 0x0F) << 4
+    # even/odd interleaved packing: row 2i low nibble, row 2i+1 high —
+    # the layout pltpu.bitcast(…, int4) restores to original row order
+    lo = q[0::2] & 0x0F
+    hi = (q[1::2] & 0x0F) << 4
     packed = (lo | hi).astype(jnp.int8)
+    np.testing.assert_array_equal(
+        np.asarray(Q._pack_nibbles(q)), np.asarray(packed)
+    )
     unpacked = Q.unpack_int4(packed)
     np.testing.assert_array_equal(np.asarray(unpacked), np.asarray(q))
 
