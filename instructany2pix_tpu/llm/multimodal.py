@@ -222,13 +222,17 @@ def train_forward(
     logits, hidden = out["logits"], out["hidden_norm"]
     individual = {}
 
-    # LM cross-entropy (shifted)
+    # LM cross-entropy (shifted). logsumexp-minus-gather form: only the
+    # (B,S) reductions materialize in f32 — the full (B,S,V) log-softmax
+    # tensor never does (the naive form writes two ~1 GB f32 arrays at
+    # batch 4 × 2048 × 32009).
     shift_logits = logits[:, :-1].astype(jnp.float32)
     shift_labels = labels[:, 1:]
     valid = shift_labels != IGNORE_INDEX
     safe_labels = jnp.where(valid, shift_labels, 0)
-    logp = jax.nn.log_softmax(shift_logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    lse = jax.scipy.special.logsumexp(shift_logits, axis=-1)
+    picked = jnp.take_along_axis(shift_logits, safe_labels[..., None], axis=-1)[..., 0]
+    nll = lse - picked
     loss_lang = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
     individual["loss_lang"] = loss_lang
     loss = loss_lang
