@@ -39,6 +39,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compile cache: a repeat bench run (same graphs) skips the
+# 20-40 s/graph remote compiles — works with the axon PJRT backend.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)

@@ -9,6 +9,12 @@ estimate enters the number. Median over reps.
 import time
 import jax, jax.numpy as jnp
 
+# Persistent compile cache: repeat bench runs skip the 20-40 s/graph
+# remote compiles (works with the axon PJRT backend — entries are
+# keyed client-side on the HLO).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def roundtrip():
     z = jnp.zeros((8, 128))

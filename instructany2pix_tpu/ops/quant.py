@@ -232,7 +232,7 @@ def quantize_llama(params, bits: int = 8, free_originals: bool = False,
 
 
 def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False,
-                interpret: bool = False):
+                interpret: bool = False, tile_scale: bool = False):
     """One output tile of x @ dequant(W): x (M, K) resident, W block
     (K, bn) int8 (or (K/2, bn) packed int4) dequantized in VMEM — the
     bf16 kernel never exists in HBM, so decode reads bits/8 bytes per
@@ -263,6 +263,17 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False,
         g_count = s_ref.shape[0]
         group = w.shape[0] // g_count
         wd = w.astype(x.dtype)
+        if tile_scale:
+            # A/B variant (IA2P_QMV_GROUPED=tile): scale the dequantized
+            # tile blockwise in VMEM — a (G, group, bn) broadcast multiply
+            # (pure outer-dim reshape, no relayout) — then ONE full-K dot
+            # instead of the G-deep chained partial-dot accumulation.
+            ws = wd.reshape(g_count, group, wd.shape[1]) * s_ref[:][:, None, :].astype(x.dtype)
+            acc = jnp.dot(
+                x, ws.reshape(w.shape[0], -1), preferred_element_type=jnp.float32
+            )
+            o_ref[:] = acc.astype(o_ref.dtype)
+            return
         acc = jnp.zeros((x.shape[0], o_ref.shape[1]), jnp.float32)
         for g in range(g_count):
             part = jnp.dot(
@@ -336,9 +347,13 @@ def pallas_qmatmul(
         # scale as (1, N): 1-D operands hit XLA/Mosaic tiling-layout
         # mismatches (T(1024) vs T(bn))
         scales = q["scale"].reshape(1, -1).astype(jnp.float32)
+    import os
+
+    tile_scale = os.environ.get("IA2P_QMV_GROUPED", "chain") == "tile"
     out = pl.pallas_call(
         __import__("functools").partial(
-            _qmv_kernel, bits=bits, grouped=grouped, interpret=interpret
+            _qmv_kernel, bits=bits, grouped=grouped, interpret=interpret,
+            tile_scale=tile_scale,
         ),
         grid=(n // block_n,),
         in_specs=[
