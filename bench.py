@@ -41,8 +41,14 @@ import numpy as np
 
 # Persistent compile cache: a repeat bench run (same graphs) skips the
 # 20-40 s/graph remote compiles — works with the axon PJRT backend.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Derived from this file's location (not a hardcoded path) and only set
+# when the caller hasn't configured a cache of their own.
+if jax.config.jax_compilation_cache_dir is None:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def log(*a):

@@ -6,14 +6,19 @@ iterations (dynamic trip count — one compile) and report
 ~25-40 ms axon tunnel sync) cancels exactly, so no fragile roundtrip
 estimate enters the number. Median over reps.
 """
+import os
 import time
 import jax, jax.numpy as jnp
 
 # Persistent compile cache: repeat bench runs skip the 20-40 s/graph
 # remote compiles (works with the axon PJRT backend — entries are
-# keyed client-side on the HLO).
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# keyed client-side on the HLO). Derived from this file's location so
+# an out-of-tree checkout still points at a real directory, and only
+# set when the caller hasn't configured a cache of their own.
+if jax.config.jax_compilation_cache_dir is None:
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir", os.path.join(_repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def roundtrip():

@@ -30,11 +30,20 @@ prefill+100-tok decode: 724 / 905 / 973 ms (with fused qkv+gate_up,
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+
+# A/B knob for the grouped-int4 kernel body (BASELINE.md r3): "chain"
+# (default) accumulates one partial dot per scale group; "tile" scales
+# the dequantized tile blockwise then runs one full-K dot. Read ONCE at
+# import: jit caches traced variants by shape/dtype, so flipping an env
+# var mid-process would silently keep returning the previously-traced
+# variant for already-seen shapes — set it before the first trace.
+_QMV_GROUPED_VARIANT = os.environ.get("IA2P_QMV_GROUPED", "chain")
 
 
 def quantize_weight(w: jax.Array) -> dict:
@@ -268,6 +277,10 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False,
             # tile blockwise in VMEM — a (G, group, bn) broadcast multiply
             # (pure outer-dim reshape, no relayout) — then ONE full-K dot
             # instead of the G-deep chained partial-dot accumulation.
+            # VMEM: this materializes a SECOND full (K, bn) tile (ws)
+            # alongside wd, roughly doubling the peak unpacked footprint —
+            # pallas_qmatmul halves block_n for this variant so it
+            # compiles at the same shapes the chain path handles.
             ws = wd.reshape(g_count, group, wd.shape[1]) * s_ref[:][:, None, :].astype(x.dtype)
             acc = jnp.dot(
                 x, ws.reshape(w.shape[0], -1), preferred_element_type=jnp.float32
@@ -332,6 +345,7 @@ def pallas_qmatmul(
         # −1 %. M≤16 rows keep the extra x bytes negligible.
         x2 = x2.astype(jnp.float32)
 
+    tile_scale = _QMV_GROUPED_VARIANT == "tile"
     while n % block_n:
         block_n //= 2
     # VMEM budget: the double-buffered PACKED weight block plus the
@@ -339,7 +353,10 @@ def pallas_qmatmul(
     # the packed bytes (k·bn·bits/8 ≤ 4.2 MB): int8 caps at the
     # measured-best 4096×1024 config; int4's half-size rows allow 2×
     # wider blocks (11008×512 / 4096×1024) — see the docstring A/B.
-    while block_n > 128 and k * block_n * bits / 8 > 4.2e6:
+    # The tile_scale variant keeps TWO unpacked (K, bn) tiles live
+    # (wd + ws), so it gets half the width.
+    packed_budget = 2.1e6 if (grouped and tile_scale) else 4.2e6
+    while block_n > 128 and k * block_n * bits / 8 > packed_budget:
         block_n //= 2
     if grouped:
         scales = q["gscale"].astype(jnp.float32)  # (G, N)
@@ -347,9 +364,6 @@ def pallas_qmatmul(
         # scale as (1, N): 1-D operands hit XLA/Mosaic tiling-layout
         # mismatches (T(1024) vs T(bn))
         scales = q["scale"].reshape(1, -1).astype(jnp.float32)
-    import os
-
-    tile_scale = os.environ.get("IA2P_QMV_GROUPED", "chain") == "tile"
     out = pl.pallas_call(
         __import__("functools").partial(
             _qmv_kernel, bits=bits, grouped=grouped, interpret=interpret,
