@@ -168,27 +168,11 @@ def splice_audio_inputs(
     return jnp.where(use[..., None], rows.astype(embeds.dtype), embeds)
 
 
-def train_forward(
-    params,
-    cfg: Any2PixLMConfig,
-    batch: Dict[str, jax.Array],
-):
-    """Training loss. Dense batch layout (built by train.data collator):
-
-      input_ids, labels, attention_mask: (B, S)
-      replacement_data: (B, S, image_codec_dim) — per-position codec
-        rows for `<video>` positions (zeros elsewhere)
-      replacement_type: (B, S) int — REPLACEMENT_TYPE per position
-        (-1 = none)
-      gen_target_image: (B, S, image_codec_dim) — continuous target at
-        `<im_gen>` positions; gen_mask_image: (B, S) bool
-      gen_target_audio / gen_mask_audio: audio analog
-    Returns (loss, individual_losses dict).
-    """
+def _train_embeds(params, cfg: Any2PixLMConfig, batch: Dict[str, jax.Array]):
+    """Dense training-batch embedding splice (shared by `train_forward`
+    and `preview_generations`): token embeds with INPUT-type `<video>`
+    rows, gen-target rows, and `<audio>` input frames projected in."""
     ids = batch["input_ids"]
-    labels = batch["labels"]
-    b, s = ids.shape
-
     embeds = llama.embed(params["llama"], ids)
     # INPUT-type <video> splice
     rep_type = batch.get("replacement_type")
@@ -212,6 +196,72 @@ def train_forward(
         embeds = splice_audio_inputs(
             params, cfg, ids, embeds, batch["extra_audio_frames"]
         )
+    return embeds
+
+
+def preview_generations(params, cfg: Any2PixLMConfig, batch: Dict[str, jax.Array]):
+    """Training-time generation preview — the `return_generations=True`
+    channel (reference any2pix_llama.py:389-395 gathers the predicted
+    image encodings at gen positions; trainer.py:248-272 decodes row 0
+    and logs a src/gen pair every 50 steps).
+
+    jit-friendly dense form: for each batch row, take the FIRST
+    `<im_gen>` position p (argmax of the mask) and return the
+    predictor's output at p-1 (the hidden state that predicts target
+    p) next to the target row itself.
+
+    Returns dict with `pred` (B, D) predicted image embedding,
+    `src` (B, D) the ground-truth codec row at that position, and
+    `has_gen` (B,) bool — rows with no image-gen token carry zeros.
+    """
+    embeds = _train_embeds(params, cfg, batch)
+    out = llama.forward(
+        params["llama"],
+        cfg.llama,
+        inputs_embeds=embeds,
+        attention_mask=batch.get("attention_mask"),
+    )
+    hidden = out["hidden_norm"]
+    pred_img = _predictor(params["vae_predictor_image"], hidden[:, :-1])
+    mask = batch["gen_mask_image"]
+    has_gen = jnp.any(mask, axis=1)
+    pos = jnp.argmax(mask, axis=1)  # first gen position per row
+    prev = jnp.clip(pos - 1, 0, pred_img.shape[1] - 1)
+    pred = jnp.take_along_axis(pred_img, prev[:, None, None], axis=1)[:, 0]
+    src = jnp.take_along_axis(
+        batch["gen_target_image"], pos[:, None, None], axis=1
+    )[:, 0]
+    zero = jnp.zeros_like(pred)
+    return {
+        "pred": jnp.where(has_gen[:, None], pred, zero),
+        "src": jnp.where(has_gen[:, None], src.astype(pred.dtype), zero),
+        "has_gen": has_gen,
+    }
+
+
+def train_forward(
+    params,
+    cfg: Any2PixLMConfig,
+    batch: Dict[str, jax.Array],
+):
+    """Training loss. Dense batch layout (built by train.data collator):
+
+      input_ids, labels, attention_mask: (B, S)
+      replacement_data: (B, S, image_codec_dim) — per-position codec
+        rows for `<video>` positions (zeros elsewhere)
+      replacement_type: (B, S) int — REPLACEMENT_TYPE per position
+        (-1 = none)
+      gen_target_image: (B, S, image_codec_dim) — continuous target at
+        `<im_gen>` positions; gen_mask_image: (B, S) bool
+      gen_target_audio / gen_mask_audio: audio analog
+    Returns (loss, individual_losses dict).
+    """
+    ids = batch["input_ids"]
+    labels = batch["labels"]
+    b, s = ids.shape
+
+    embeds = _train_embeds(params, cfg, batch)
+    rep_type = batch.get("replacement_type")
 
     out = llama.forward(
         params["llama"],

@@ -25,7 +25,7 @@ path.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -517,6 +517,7 @@ def apply(
     capture_ip_attn: bool = False,
     cross_kv: Optional[dict] = None,  # precompute_cross_kv output
     pnp_share_qk: bool = False,  # up-block self-attn rows share row 0's Q/K
+    ignore_ip: Union[bool, int] = False,  # CNAttnProcessor semantics
 ) -> jax.Array:
     """When `capture_ip_attn` is set, returns `(eps, taps)` where taps
     maps layer paths → IP attention probs (B, heads, S_pixels, n_ip) —
@@ -525,7 +526,32 @@ def apply(
     `cross_kv` (from `precompute_cross_kv`) replaces the per-layer
     text/IP context projections with precomputed K/V — pass it when the
     same context drives many steps (denoise/inversion scans). When it
-    carries k_ip/v_ip, `ip_tokens` is unused."""
+    carries k_ip/v_ip, `ip_tokens` is unused.
+
+    `ignore_ip` is the counterpart of the reference's CNAttnProcessor /
+    CNAttnProcessor2_0 (reference ip_adapter/attention_processor.py:416,
+    481): a UNet branch that shares an IP-conditioned context — e.g. a
+    ControlNet running alongside IPAdapterXL — must attend over the TEXT
+    tokens only, never the trailing image-prompt tokens. There the IP
+    tokens ride concatenated inside encoder_hidden_states and the
+    processor slices them off (`encoder_hidden_states[:, :end_pos]`);
+    here they normally arrive as the separate `ip_tokens` argument, so
+    `ignore_ip=True` drops that KV source (both the live branch and any
+    k_ip/v_ip baked into `cross_kv`). Passing an int N>0 additionally
+    truncates the trailing N tokens from `encoder_hidden_states`
+    itself — the exact concatenated-contract form, for callers handing
+    a combined [text; ip] context to an auxiliary branch."""
+    if ignore_ip:
+        ip_tokens = None
+        if isinstance(ignore_ip, int) and not isinstance(ignore_ip, bool):
+            encoder_hidden_states = encoder_hidden_states[:, :-ignore_ip]
+        if cross_kv is not None:
+            def _strip(node):
+                if isinstance(node, dict):
+                    return {k: _strip(v) for k, v in node.items()
+                            if k not in ("k_ip", "v_ip")}
+                return node
+            cross_kv = _strip(cross_kv)
     taps: Optional[dict] = {} if capture_ip_attn else None
     g = cfg.norm_num_groups
     b = sample.shape[0]

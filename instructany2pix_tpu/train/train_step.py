@@ -85,3 +85,18 @@ def make_train_step(
 
     jitted = jax.jit(train_step, donate_argnums=(0,))
     return init_state, jitted
+
+
+def make_preview_step(model_cfg: mm.Any2PixLMConfig, mesh=None):
+    """Jitted generation-preview forward — the trainer's periodic
+    `return_generations` channel (reference trainer.py:248-272): every N
+    steps the launcher runs this (no grads) and dumps a src/gen image
+    pair. Returns `(params, batch) -> {"pred", "src", "has_gen"}`
+    (see `mm.preview_generations`). Kept out of `train_step` so the hot
+    graph carries no preview branch; the extra forward runs only on
+    preview steps."""
+
+    def preview_step(params, batch):
+        return mm.preview_generations(params, model_cfg, batch)
+
+    return jax.jit(preview_step)

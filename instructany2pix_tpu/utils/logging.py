@@ -57,4 +57,29 @@ class MetricLogger:
         from ..codecs.image_io import save_image
 
         save_image(path, grid)
+        if self._wandb is not None and getattr(self._wandb, "run", None):
+            self._wandb.log(
+                {"image_gen": self._wandb.Image(grid)}, step=step
+            )
         return path
+
+
+def embedding_heatmap(vec, size: int = 128) -> np.ndarray:
+    """Render a codec embedding vector as an (size, size, 3) uint8
+    heatmap — the generation-preview fallback when no decoder pipeline
+    is loaded (the reference trainer skips the image dump entirely when
+    `self.pipe is None`, trainer.py:258; we always emit *something* so
+    embedding drift is visible during training)."""
+    v = np.asarray(vec, np.float32).reshape(-1)
+    side = int(np.ceil(np.sqrt(v.size)))
+    pad = np.zeros(side * side, np.float32)
+    pad[: v.size] = v
+    img = pad.reshape(side, side)
+    lo, hi = img.min(), img.max()
+    img = (img - lo) / (hi - lo + 1e-8)
+    # nearest-neighbor upsample to a viewable size
+    rep = max(1, size // side)
+    img = np.repeat(np.repeat(img, rep, 0), rep, 1)
+    u8 = (img * 255).astype(np.uint8)
+    # simple blue→red diverging map: R = v, G = 0.2, B = 1-v
+    return np.stack([u8, np.full_like(u8, 48), 255 - u8], axis=-1)

@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--ckpt-dir", default="checkpoints")
     ap.add_argument("--save-steps", type=int, default=500)
     ap.add_argument("--log-steps", type=int, default=10)
+    ap.add_argument("--preview-steps", type=int, default=50,
+                    help="every N steps, run the generation-preview "
+                         "forward and dump a src/gen image pair "
+                         "(reference trainer.py:248-272 does this every "
+                         "50 steps); 0 disables")
+    ap.add_argument("--preview-dir", default="train_images")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--remat-policy", default="dots", choices=["full", "dots"],
                     help="grad-checkpoint policy: 'dots' saves matmul outputs "
@@ -56,8 +62,12 @@ def main():
         load_tokenizer,
     )
     from instructany2pix_tpu.train import data as data_lib
-    from instructany2pix_tpu.train.train_step import TrainConfig, make_train_step
-    from instructany2pix_tpu.utils.logging import MetricLogger
+    from instructany2pix_tpu.train.train_step import (
+        TrainConfig,
+        make_preview_step,
+        make_train_step,
+    )
+    from instructany2pix_tpu.utils.logging import MetricLogger, embedding_heatmap
 
     tokenizer = load_tokenizer(None)
     token_ids = initialize_vision_tokenizer(tokenizer)
@@ -96,6 +106,7 @@ def main():
         print(f"resumed from step {start_step}")
 
     logger = MetricLogger()
+    preview_step = None
     rng = np.random.RandomState(0)
     order = data_lib.length_grouped_indices(ds.modality_lengths, args.batch_size, rng)
     pos = 0
@@ -111,6 +122,23 @@ def main():
         state, metrics = train_step(state, batch)
         if (step_i + 1) % args.log_steps == 0:
             logger.log(step_i + 1, {k: float(v) for k, v in metrics.items()})
+        if (
+            args.preview_steps
+            and (step_i + 1) % args.preview_steps == 0
+            and "gen_target_image" in batch
+        ):
+            if preview_step is None:
+                preview_step = make_preview_step(cfg, mesh=mesh)
+            gen = jax.device_get(preview_step(state["params"], batch))
+            rows = np.nonzero(gen["has_gen"])[0]
+            if rows.size:
+                r = int(rows[0])
+                pair = np.stack([
+                    embedding_heatmap(gen["src"][r]),
+                    embedding_heatmap(gen["pred"][r]),
+                ])
+                p = logger.dump_images(step_i + 1, pair, out_dir=args.preview_dir)
+                print(f"preview (src|gen embeddings) -> {p}")
         if (step_i + 1) % args.save_steps == 0 or step_i + 1 == args.steps:
             ckpt_lib.save(latest, jax.device_get(state))
             print(f"saved checkpoint at step {step_i + 1}")

@@ -216,6 +216,56 @@ class TestLCM:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_ignore_ip_drops_image_prompt_tokens(rng):
+    """CNAttnProcessor semantics (reference ip_adapter/
+    attention_processor.py:416,481): an auxiliary branch sharing an
+    IP-conditioned context must attend over TEXT tokens only. With
+    `ignore_ip=True`, IP tokens must have exactly zero effect —
+    whether passed live, baked into cross_kv, or (int form)
+    concatenated into encoder_hidden_states."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instructany2pix_tpu.models import unet as unet_lib
+
+    cfg = unet_lib.UNetConfig.tiny(with_ip=True)
+    params = unet_lib.init(rng, cfg)
+    lat = jax.random.normal(jax.random.key(1), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(2), (2, 7, cfg.cross_attention_dim))
+    pooled = jax.random.normal(jax.random.key(3), (2, cfg.pooled_dim))
+    tid = jnp.ones((2, 6))
+    ip = jax.random.normal(jax.random.key(4), (2, 4, cfg.cross_attention_dim))
+    kw = dict(pooled_text=pooled, time_ids=tid, ip_scale=1.0)
+    t = jnp.zeros((2,), jnp.int32)
+
+    no_ip = unet_lib.apply(params, lat, t, ctx, cfg, **kw)
+    with_ip = unet_lib.apply(params, lat, t, ctx, cfg, ip_tokens=ip, **kw)
+    # sanity: IP tokens do change the output when not ignored
+    assert float(jnp.abs(with_ip - no_ip).max()) > 1e-4
+
+    # live ip_tokens dropped
+    a = unet_lib.apply(params, lat, t, ctx, cfg, ip_tokens=ip,
+                       ignore_ip=True, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(no_ip))
+
+    # cross_kv carrying k_ip/v_ip stripped
+    ckv = unet_lib.precompute_cross_kv(params, cfg, ctx, ip)
+    b = unet_lib.apply(params, lat, t, ctx, cfg, cross_kv=ckv,
+                       ignore_ip=True, **kw)
+    ckv_noip = unet_lib.precompute_cross_kv(params, cfg, ctx, None)
+    ref = unet_lib.apply(params, lat, t, ctx, cfg, cross_kv=ckv_noip, **kw)
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(ref))
+
+    # int form: trailing N tokens truncated from a combined [text; ip]
+    # context (the reference's concatenated-contract shape)
+    extra = jax.random.normal(jax.random.key(5),
+                              (2, 4, cfg.cross_attention_dim))
+    combined = jnp.concatenate([ctx, extra], axis=1)
+    c = unet_lib.apply(params, lat, t, combined, cfg, ignore_ip=4, **kw)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(no_ip))
+
+
 def test_fuse_qkv_preserves_outputs(rng):
     """fuse_qkv (op-launch optimization) is semantics-preserving."""
     import jax

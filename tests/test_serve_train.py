@@ -1,6 +1,7 @@
 """Serve marker parsing + training data pipeline + train step."""
 
 import json
+import os
 
 import jax
 import numpy as np
@@ -165,3 +166,51 @@ class TestTrainStep:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
         assert int(state["step"]) == 5
+
+    def test_generation_preview_hook(self, tmp_path):
+        """The trainer's periodic generation preview (reference
+        trainer.py:248-272): preview_step extracts the predicted image
+        embedding at the first <im_gen> position, and the launcher's
+        hook dumps a src/gen pair via MetricLogger.dump_images."""
+        from instructany2pix_tpu.train.train_step import make_preview_step
+        from instructany2pix_tpu.utils.logging import (
+            MetricLogger,
+            embedding_heatmap,
+        )
+
+        tok = ByteTokenizer()
+        token_ids = initialize_vision_tokenizer(tok)
+        dp, media = _toy_dataset(tmp_path)
+        cfg = mm.Any2PixLMConfig.tiny(token_ids)
+        dcfg = data_lib.DataConfig(max_length=512, video_prob=1.0,
+                                   base_drop_prob=0.0,
+                                   audio_codec_dim=cfg.audio_codec_dim)
+        ds = data_lib.InstructionDataset(dp, media, tok, token_ids, dcfg, seed=0)
+        batch_np = data_lib.collate(
+            [ds[0], ds[1]], tok, token_ids, dcfg, codec_dim=cfg.image_codec_dim
+        )
+        batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
+        params = mm.init(jax.random.key(0), cfg)
+        preview = make_preview_step(cfg)
+        gen = jax.device_get(preview(params, batch))
+        assert gen["pred"].shape == (2, cfg.image_codec_dim)
+        assert gen["src"].shape == (2, cfg.image_codec_dim)
+        # row 0 is the image-modality example (one <im_gen>); row 1 is
+        # audio-only — no image-gen token
+        assert bool(gen["has_gen"][0]) and not bool(gen["has_gen"][1])
+        assert np.isfinite(gen["pred"][0]).all()
+        # src at the gen position must be the actual codec target row
+        pos = int(np.argmax(batch_np["gen_mask_image"][0]))
+        np.testing.assert_allclose(
+            gen["src"][0], batch_np["gen_target_image"][0, pos], rtol=1e-5
+        )
+        # rows without a gen token are zeroed, not garbage
+        assert np.all(gen["pred"][1] == 0) and np.all(gen["src"][1] == 0)
+        # the launcher hook: heatmap pair -> grid PNG on disk
+        logger = MetricLogger()
+        pair = np.stack([
+            embedding_heatmap(gen["src"][0]),
+            embedding_heatmap(gen["pred"][0]),
+        ])
+        out = logger.dump_images(50, pair, out_dir=str(tmp_path / "prev"))
+        assert os.path.isfile(out)
