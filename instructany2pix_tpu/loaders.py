@@ -109,12 +109,48 @@ def load_ip_adapter(path: str, unet_attn_paths) -> Dict[str, Any]:
     }
 
 
+def is_converted_root(ckpt: str) -> bool:
+    """True when `ckpt` is an orbax root written by
+    scripts/convert_checkpoints.py (per-component orbax dirs) rather
+    than the reference's torch layout (reference pipeline.py:96-147)."""
+    return os.path.isdir(os.path.join(ckpt, "llm")) and os.path.exists(
+        os.path.join(ckpt, "llm", "_CHECKPOINT_METADATA")
+    )
+
+
+def load_pipeline_params_orbax(cfg, root: str) -> Dict[str, Any]:
+    """Restore the pipeline param dict from a converted orbax root.
+
+    This is the warm-boot path: `convert_checkpoints.py --quant-llm
+    int4` bakes the packed int4 weights + scales into the stored LLM,
+    so boot is a plain array restore — no torch pickle parsing and no
+    on-device re-quantization (the reference re-quantizes to NF4 at
+    every load, reference pipeline.py:30; r3 measured that at 64.6 s
+    per boot on this chip)."""
+    from .models import unet_convert
+
+    params: Dict[str, Any] = {}
+    for name in (
+        "llm", "prior", "unet", "vae", "text1", "text2", "refiner",
+        "prior_text", "imagebind_vision", "imagebind_audio",
+    ):
+        params[name] = ckpt_lib.restore(os.path.join(root, name))
+    ip = ckpt_lib.restore(os.path.join(root, "ip_adapter"))
+    params["image_proj"] = ip["image_proj"]
+    params["unet"] = unet_convert.merge_ip_weights(params["unet"], ip["ip_attn"])
+    params["inpaint_unet"] = params["unet"]  # shares base components
+    return params
+
+
 def load_pipeline_params(cfg, ckpt: str, llm_folder: str) -> Dict[str, Any]:
     """Assemble the full pipeline param dict from a reference-layout
     checkpoint root. Components whose converters are not yet wired
     (SDXL UNet/VAE diffusers state dicts, ImageBind) raise with a
     pointer to the converter module."""
     from .models import unet_convert
+
+    if is_converted_root(ckpt):
+        return load_pipeline_params_orbax(cfg, ckpt)
 
     params: Dict[str, Any] = {}
     params["llm"] = load_llm(os.path.join(ckpt, llm_folder))

@@ -174,16 +174,33 @@ class InstructAny2PixPipeline:
         tiny: Optional[bool] = None,
         seed: int = 0,
         config: Optional[PipelineConfig] = None,
+        params: Optional[Any] = None,
     ):
-        has_ckpts = os.path.isdir(os.path.join(ckpt, llm_folder))
+        """`params` overrides checkpoint loading with a caller-provided
+        param mapping — e.g. a `core.staging.StagedParams` store so the
+        full-size stack runs on one 16 GB chip with LRU weight staging
+        (the single-chip counterpart of the reference's fp16+NF4
+        single-GPU squeeze, reference pipeline.py:30,101)."""
+        from . import loaders as loaders_lib
+
+        # converted orbax roots (scripts/convert_checkpoints.py) are a
+        # valid checkpoint source too — the warm-boot path that skips
+        # torch parsing and LLM re-quantization
+        has_ckpts = os.path.isdir(
+            os.path.join(ckpt, llm_folder)
+        ) or loaders_lib.is_converted_root(ckpt)
         if tiny is None:
-            tiny = not has_ckpts
+            tiny = not has_ckpts and params is None
         self.tiny = tiny
         self.cfg = config or (PipelineConfig.tiny() if tiny else PipelineConfig())
         if self.cfg.llm is None:
             self.cfg = dataclasses.replace(self.cfg, llm=mm_lib.Any2PixLMConfig())
         self.schedule = Schedule.create(SchedulerConfig())
         self.cache = None
+        # jitted stage graphs, keyed by (stage, static knobs) — the
+        # product path dispatches ONE graph per stage (scans included)
+        # instead of per-op eager calls; reused across __call__s
+        self._jitted: Dict[Any, Any] = {}
 
         self.tokenizer = load_tokenizer(
             os.path.join(ckpt, llm_folder, "tokenizer") if has_ckpts else None
@@ -195,7 +212,15 @@ class InstructAny2PixPipeline:
             )
 
         kc = KeyChain(seed)
-        if tiny:
+        if params is not None:
+            self.params = params
+            # a store aliasing inpaint_unet -> unet means the base UNet
+            # serves inpainting (reference pipeline.py:132-139 shares
+            # base components): pin the config to the 4-channel path
+            resolve = getattr(params, "_resolve", None)
+            if resolve is not None and resolve("inpaint_unet") == "unet":
+                self.cfg = dataclasses.replace(self.cfg, inpaint_unet=self.cfg.unet)
+        elif tiny:
             self.params = self._init_random(kc)
         else:
             self.params = self._load_checkpoints(ckpt, llm_folder)
@@ -253,6 +278,19 @@ class InstructAny2PixPipeline:
         self.cfg = dataclasses.replace(self.cfg, inpaint_unet=self.cfg.unet)
         return params
 
+    # ------------------------------------------------------------ jitting
+
+    def _jit(self, key: Any, make) -> Any:
+        """One persistent jitted graph per (stage, static-knob) key.
+        `make` builds the traceable closure on first use; the compiled
+        executable is reused across edits (jax caches by arg shapes
+        under the hood, so prompt-length changes recompile only the
+        affected stage)."""
+        fn = self._jitted.get(key)
+        if fn is None:
+            fn = self._jitted[key] = jax.jit(make())
+        return fn
+
     # -------------------------------------------------------- conditioning
 
     def _embed_media(self, item: dict) -> jax.Array:
@@ -265,14 +303,25 @@ class InstructAny2PixPipeline:
         fpath = item["fname"]
         if item["type"] == "image":
             img = image_io.load_image(fpath)
-            return imagebind_lib.embed_vision(
-                self.params["imagebind_vision"], self.cfg.imagebind_vision, img
+            c = self.cfg.imagebind_vision
+            fn = self._jit(
+                "ib_vision", lambda: lambda p, x: imagebind_lib.apply(p, x, c)
             )
+            x = jnp.asarray(
+                imagebind_lib.preprocess_vision(img, c.image_size or 224)
+            )
+            return fn(self.params["imagebind_vision"], x)
         if item["type"] == "audio":
             wav = _load_wav(fpath)
-            return imagebind_lib.embed_audio(
-                self.params["imagebind_audio"], self.cfg.imagebind_audio, wav
+            c = self.cfg.imagebind_audio
+            fn = self._jit(
+                "ib_audio",
+                lambda: lambda p, x: jnp.mean(
+                    imagebind_lib.apply(p, x, c), axis=0, keepdims=True
+                ),
             )
+            clips = jnp.asarray(imagebind_lib.preprocess_audio(wav))
+            return fn(self.params["imagebind_audio"], clips)
         raise ValueError(item["type"])
 
     # ---------------------------------------------------------- LLM stage
@@ -370,17 +419,16 @@ class InstructAny2PixPipeline:
         gen_idx = int(all_gen[0])
         remaining = all_gen[1:]
 
+        pred_fn = self._jit(
+            "pred_img", lambda: mm_lib.predict_image_embedding
+        )
         image_embeds = np.asarray(
-            mm_lib.predict_image_embedding(self.params["llm"], hiddens[gen_idx][None])
+            pred_fn(self.params["llm"], hiddens[gen_idx][None])
         )
         extra_embeds = (
             np.concatenate(
                 [
-                    np.asarray(
-                        mm_lib.predict_image_embedding(
-                            self.params["llm"], hiddens[int(i)][None]
-                        )
-                    )
+                    np.asarray(pred_fn(self.params["llm"], hiddens[int(i)][None]))
                     for i in remaining
                 ]
             )
@@ -396,9 +444,7 @@ class InstructAny2PixPipeline:
             base_pos = np.where(out_seq == base_id)[0]
             if len(base_pos) and base_pos[0] + 1 < len(out_seq):
                 h_base = hiddens[int(base_pos[0]) + 1][None]
-                base_pred = np.asarray(
-                    mm_lib.predict_image_embedding(self.params["llm"], h_base)
-                )[0]
+                base_pred = np.asarray(pred_fn(self.params["llm"], h_base))[0]
                 sims = (
                     base_pred / (np.linalg.norm(base_pred) + 1e-9) * self.cfg.embed_norm
                 ) @ aux_np.T
@@ -461,8 +507,14 @@ class InstructAny2PixPipeline:
         c = self.cfg
         ids1 = self._clip_ids(self.clip_tok1, prompt, c.text1.max_positions, c.text1.eos_token_id)
         ids2 = self._clip_ids(self.clip_tok2, prompt, c.text2.max_positions, c.text2.eos_token_id)
-        return sampler_lib.encode_prompt_sdxl(
-            self.params["text1"], c.text1, self.params["text2"], c.text2,
+        fn = self._jit(
+            "sdxl_prompt",
+            lambda: lambda t1, t2, i1, i2: sampler_lib.encode_prompt_sdxl(
+                t1, c.text1, t2, c.text2, i1, i2
+            ),
+        )
+        return fn(
+            self.params["text1"], self.params["text2"],
             jnp.asarray(ids1), jnp.asarray(ids2),
         )
 
@@ -471,7 +523,13 @@ class InstructAny2PixPipeline:
         ids = self._clip_ids(
             self.prior_tok, prompt, c.prior.text_len, c.prior_text.eos_token_id
         )
-        out = clip_lib.text_apply(self.params["prior_text"], jnp.asarray(ids), c.prior_text)
+        fn = self._jit(
+            "prior_text",
+            lambda: lambda p, i: clip_lib.text_apply(p, i, c.prior_text)[
+                "last_hidden_state"
+            ],
+        )
+        out = {"last_hidden_state": fn(self.params["prior_text"], jnp.asarray(ids))}
         # the reference tokenizes with padding=True (batch-longest), so
         # only the real tokens enter the prior's sequence assembly
         # (reference prior/model.py:84-104 returns the true attention
@@ -525,19 +583,34 @@ class InstructAny2PixPipeline:
         lat = jax.random.normal(kc(), (1, h, h, 4))
         ip_cond = ip_uncond = None
         if ip_embeds is not None:
-            ip_cond, ip_uncond = ipa.get_image_embeds(
-                self.params["image_proj"], c.image_proj,
-                clip_image_embeds=jnp.asarray(ip_embeds).reshape(1, -1),
-                mode="global",
+            ip_embed_fn = self._jit(
+                "ip_embeds_global",
+                lambda: lambda p, e: ipa.get_image_embeds(
+                    p, c.image_proj, clip_image_embeds=e, mode="global"
+                ),
             )
-        lat = sampler_lib.denoise(
-            self.params["unet"], c.unet, self.schedule, lat,
-            ctx_p, ctx_n, pooled_p, pooled_n, tid,
-            num_inference_steps=num_inference_steps,
-            guidance_scale=guidance_scale,
-            ip_tokens=ip_cond, ip_tokens_uncond=ip_uncond, ip_scale=ip_scale,
+            ip_cond, ip_uncond = ip_embed_fn(
+                self.params["image_proj"], jnp.asarray(ip_embeds).reshape(1, -1)
+            )
+        t2i_fn = self._jit(
+            ("t2i", num_inference_steps, guidance_scale, ip_scale,
+             ip_embeds is not None),
+            lambda: lambda p, lat, ctx_p, ctx_n, pooled_p, pooled_n, tid, ip,
+            ip_u: sampler_lib.denoise(
+                p, c.unet, self.schedule, lat, ctx_p, ctx_n, pooled_p,
+                pooled_n, tid, num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale, ip_tokens=ip,
+                ip_tokens_uncond=ip_u, ip_scale=ip_scale,
+            ),
         )
-        img = vae_lib.decode(self.params["vae"], lat, c.vae)
+        lat = t2i_fn(
+            self.params["unet"], lat, ctx_p, ctx_n, pooled_p, pooled_n, tid,
+            ip_cond, ip_uncond,
+        )
+        vae_dec = self._jit(
+            "vae_dec", lambda: lambda p, z: vae_lib.decode(p, z, c.vae)
+        )
+        img = vae_dec(self.params["vae"], lat)
         return image_io.from_model_range(np.asarray(img[0]))
 
     # ------------------------------------------------------------- __call__
@@ -576,12 +649,15 @@ class InstructAny2PixPipeline:
         # prior refinement (reference pipeline.py:313-317)
         th, tm = self._encode_prior_text("")
         src = image_embeds / (jnp.linalg.norm(image_embeds) + 1e-9) * 100.0
-        with stage("prior"):
-            y = prior_lib.generate_diffusion(
-                self.params["prior"], c.prior, MODALITY.VIDEO, MODALITY.IMAGE,
-                src.reshape(1, -1), th, tm,
+        prior_fn = self._jit(
+            "prior",
+            lambda: lambda p, s, th, tm: prior_lib.generate_diffusion(
+                p, c.prior, MODALITY.VIDEO, MODALITY.IMAGE, s, th, tm,
                 guidance_scale=10.0, score=6.5, no_diffusion=True,
-            )[:, 0]
+            )[:, 0],
+        )
+        with stage("prior"):
+            y = prior_fn(self.params["prior"], src.reshape(1, -1), th, tm)
 
         img_base = self.load_base_img(base_img_path)
 
@@ -591,65 +667,106 @@ class InstructAny2PixPipeline:
         )
 
         # DDIM inversion of the base image (reference pipeline.py:330)
+        vae_enc = self._jit(
+            "vae_enc", lambda: lambda p, x, k: vae_lib.encode(p, x, key=k, cfg=c.vae)
+        )
         x = jnp.asarray(image_io.to_model_range(img_base))[None]
-        src_lat = vae_lib.encode(self.params["vae"], x, key=kc(), cfg=c.vae)
+        src_lat = vae_enc(self.params["vae"], x, kc())
         ctx_null, pooled_null = self._encode_sdxl_prompt("")
         tid = sampler_lib.default_time_ids(c.image_size, c.image_size, 1)
-        with stage("ddim_inversion"):
-            latent_inv = sampler_lib.ddim_invert(
-                self.params["unet"], c.unet, self.schedule, src_lat,
-                ctx_null, pooled_null, tid,
+        invert_fn = self._jit(
+            ("invert", num_inference_steps),
+            lambda: lambda p, lat, ctx, pooled, tid: sampler_lib.ddim_invert(
+                p, c.unet, self.schedule, lat, ctx, pooled, tid,
                 num_inference_steps=num_inference_steps,
+            ),
+        )
+        with stage("ddim_inversion"):
+            latent_inv = invert_fn(
+                self.params["unet"], src_lat, ctx_null, pooled_null, tid
             )
-        latent_inv = sampler_lib.polar_interpolate(
+        polar_fn = self._jit(
+            "polar",
+            lambda: lambda x, y, a: sampler_lib.polar_interpolate(x, y, a),
+        )
+        latent_inv = polar_fn(
             latent_inv, jax.random.normal(kc(), latent_inv.shape), alpha
         )
 
         # IP-Adapter global-mode generation (reference pipeline.py:342-354)
         prompt = "best quality, high quality" + output_caption
         ctx_p, pooled_p = self._encode_sdxl_prompt(prompt)
-        ip_cond, ip_uncond = ipa.get_image_embeds(
-            self.params["image_proj"], c.image_proj,
-            clip_image_embeds=latent_la, mode="global",
+        ip_embed_fn = self._jit(
+            "ip_embeds_global",
+            lambda: lambda p, e: ipa.get_image_embeds(
+                p, c.image_proj, clip_image_embeds=e, mode="global"
+            ),
         )
+        ip_cond, ip_uncond = ip_embed_fn(self.params["image_proj"], latent_la)
         with stage("denoise"):
             if diffusion_mode == "ipa_lcm":
                 # 4-step LCM fast path (reference readme.MD:60; needs
                 # LCM-distilled UNet weights for quality)
                 from .diffusion.schedulers import lcm_timesteps
 
-                eps_fn = sampler_lib.make_cfg_eps_fn(
-                    self.params["unet"], c.unet, ctx_p, ctx_null, pooled_p,
-                    pooled_null, tid, guidance_scale=1.0, ip_tokens=ip_cond,
-                    ip_tokens_uncond=ip_uncond, ip_scale=scale,
-                )
-                lat = sampler_lib.scan_denoise_lcm(
-                    eps_fn, self.schedule, latent_inv,
-                    lcm_timesteps(self.schedule, 4), kc(),
+                def make_lcm():
+                    def fn(p, lat, ctx_p, ctx_n, pooled_p, pooled_n, tid,
+                           ip, ip_u, k):
+                        eps_fn = sampler_lib.make_cfg_eps_fn(
+                            p, c.unet, ctx_p, ctx_n, pooled_p, pooled_n, tid,
+                            guidance_scale=1.0, ip_tokens=ip,
+                            ip_tokens_uncond=ip_u, ip_scale=scale,
+                        )
+                        return sampler_lib.scan_denoise_lcm(
+                            eps_fn, self.schedule, lat,
+                            lcm_timesteps(self.schedule, 4), k,
+                        )
+
+                    return fn
+
+                lat = self._jit(("lcm_denoise", scale), make_lcm)(
+                    self.params["unet"], latent_inv, ctx_p, ctx_null,
+                    pooled_p, pooled_null, tid, ip_cond, ip_uncond, kc(),
                 )
             else:
-                lat = sampler_lib.denoise(
-                    self.params["unet"], c.unet, self.schedule, latent_inv,
-                    ctx_p, ctx_null, pooled_p, pooled_null, tid,
-                    num_inference_steps=num_inference_steps, guidance_scale=cfg,
-                    ip_tokens=ip_cond, ip_tokens_uncond=ip_uncond, ip_scale=scale,
+                denoise_fn = self._jit(
+                    ("denoise", num_inference_steps, cfg, scale),
+                    lambda: lambda p, lat, ctx_p, ctx_n, pooled_p, pooled_n,
+                    tid, ip, ip_u: sampler_lib.denoise(
+                        p, c.unet, self.schedule, lat, ctx_p, ctx_n,
+                        pooled_p, pooled_n, tid,
+                        num_inference_steps=num_inference_steps,
+                        guidance_scale=cfg, ip_tokens=ip,
+                        ip_tokens_uncond=ip_u, ip_scale=scale,
+                    ),
                 )
-        img = vae_lib.decode(self.params["vae"], lat, c.vae)
+                lat = denoise_fn(
+                    self.params["unet"], latent_inv, ctx_p, ctx_null,
+                    pooled_p, pooled_null, tid, ip_cond, ip_uncond,
+                )
+        vae_dec = self._jit(
+            "vae_dec", lambda: lambda p, z: vae_lib.decode(p, z, c.vae)
+        )
+        img = vae_dec(self.params["vae"], lat)
         non_refined = image_io.from_model_range(np.asarray(img[0]))
 
         # refiner (reference pipeline.py:358-359)
         if refinement > 0:
+            text2_fn = self._jit(
+                "text2_apply",
+                lambda: lambda p, i: clip_lib.text_apply(p, i, c.text2),
+            )
             rprompt = output_caption + ",high quality,well-formed,award-winning"
             ids2 = self._clip_ids(
                 self.clip_tok2, rprompt, c.text2.max_positions, c.text2.eos_token_id
             )
-            o2 = clip_lib.text_apply(self.params["text2"], jnp.asarray(ids2), c.text2)
+            o2 = text2_fn(self.params["text2"], jnp.asarray(ids2))
             rctx = o2["hidden_states"][-2]
             rpooled = o2.get("text_embeds", o2["pooled"])
             ids2n = self._clip_ids(
                 self.clip_tok2, "", c.text2.max_positions, c.text2.eos_token_id
             )
-            o2n = clip_lib.text_apply(self.params["text2"], jnp.asarray(ids2n), c.text2)
+            o2n = text2_fn(self.params["text2"], jnp.asarray(ids2n))
             # refiner time ids include the aesthetic score as 5th entry
             # (diffusers _get_add_time_ids: 6.0 cond / 2.5 uncond)
             rtid = jnp.asarray(
@@ -658,24 +775,34 @@ class InstructAny2PixPipeline:
             rtid_u = jnp.asarray(
                 [[c.image_size, c.image_size, 0, 0, 2.5]], jnp.float32
             )
-            rlat = vae_lib.encode(
-                self.params["vae"], jnp.asarray(image_io.to_model_range(non_refined))[None],
-                key=kc(), cfg=c.vae,
+            rlat = vae_enc(
+                self.params["vae"],
+                jnp.asarray(image_io.to_model_range(non_refined))[None],
+                kc(),
             )
-            rlat = i2i.img2img(
-                self.params["refiner"], c.refiner, self.schedule, rlat, kc(),
-                rctx, o2n["hidden_states"][-2], rpooled,
-                o2n.get("text_embeds", o2n["pooled"]), rtid,
-                # reference calls the refiner with diffusers defaults
-                # (pipeline.py:358): num_inference_steps=50 and guidance 5.0
-                # regardless of the edit's step count — strength 0.5 means
-                # ~25 refiner steps on a 50-step grid, NOT steps/2 on the
-                # edit grid.
-                num_inference_steps=REFINER_NUM_STEPS, strength=refinement,
-                guidance_scale=5.0,
-                time_ids_uncond=rtid_u,
+            refiner_fn = self._jit(
+                ("refiner", refinement),
+                lambda: lambda p, lat, k, ctx, ctx_n, pooled, pooled_n, tid,
+                tid_u: i2i.img2img(
+                    p, c.refiner, self.schedule, lat, k, ctx, ctx_n, pooled,
+                    pooled_n, tid,
+                    # reference calls the refiner with diffusers defaults
+                    # (pipeline.py:358): num_inference_steps=50 and
+                    # guidance 5.0 regardless of the edit's step count —
+                    # strength 0.5 means ~25 refiner steps on a 50-step
+                    # grid, NOT steps/2 on the edit grid.
+                    num_inference_steps=REFINER_NUM_STEPS,
+                    strength=refinement, guidance_scale=5.0,
+                    time_ids_uncond=tid_u,
+                ),
             )
-            rimg = vae_lib.decode(self.params["vae"], rlat, c.vae)
+            with stage("refiner"):
+                rlat = refiner_fn(
+                    self.params["refiner"], rlat, kc(), rctx,
+                    o2n["hidden_states"][-2], rpooled,
+                    o2n.get("text_embeds", o2n["pooled"]), rtid, rtid_u,
+                )
+            rimg = vae_dec(self.params["vae"], rlat)
             oo = image_io.from_model_range(np.asarray(rimg[0]))
         else:
             oo = non_refined
@@ -729,27 +856,48 @@ class InstructAny2PixPipeline:
     def _make_inpaint_fn(self, kc: KeyChain, steps: int, strength: float):
         c = self.cfg
 
+        vae_enc = self._jit(
+            "vae_enc", lambda: lambda p, x, k: vae_lib.encode(p, x, key=k, cfg=c.vae)
+        )
+        vae_dec = self._jit(
+            "vae_dec", lambda: lambda p, z: vae_lib.decode(p, z, c.vae)
+        )
+
         def inpaint_fn(image: np.ndarray, mask: np.ndarray, subject_embed, prompt: str):
             x = jnp.asarray(image_io.to_model_range(image))[None]
-            lat = vae_lib.encode(self.params["vae"], x, key=kc(), cfg=c.vae)
+            lat = vae_enc(self.params["vae"], x, kc())
             masked = x * (1.0 - jnp.asarray(mask)[None, :, :, None])
-            masked_lat = vae_lib.encode(self.params["vae"], masked, key=kc(), cfg=c.vae)
+            masked_lat = vae_enc(self.params["vae"], masked, kc())
             ctx_p, pooled_p = self._encode_sdxl_prompt(prompt)
             ctx_n, pooled_n = self._encode_sdxl_prompt("")
             tid = sampler_lib.default_time_ids(c.image_size, c.image_size, 1)
-            ip_cond, ip_uncond = ipa.get_image_embeds(
-                self.params["image_proj"], c.image_proj,
-                clip_image_embeds_local=jnp.asarray(subject_embed).reshape(1, -1),
-                mode="local",
+            ip_embed_fn = self._jit(
+                "ip_embeds_local",
+                lambda: lambda p, e: ipa.get_image_embeds(
+                    p, c.image_proj, clip_image_embeds_local=e, mode="local"
+                ),
             )
-            out = i2i.inpaint(
-                self.params["inpaint_unet"], c.inpaint_unet, self.schedule, lat,
+            ip_cond, ip_uncond = ip_embed_fn(
+                self.params["image_proj"],
+                jnp.asarray(subject_embed).reshape(1, -1),
+            )
+            inpaint_jit = self._jit(
+                ("inpaint", strength),
+                lambda: lambda p, lat, m, mlat, k, ctx_p, ctx_n, pooled_p,
+                pooled_n, tid, ip, ip_u: i2i.inpaint(
+                    p, c.inpaint_unet, self.schedule, lat, m, mlat, k,
+                    ctx_p, ctx_n, pooled_p, pooled_n, tid,
+                    num_inference_steps=50, strength=strength,
+                    guidance_scale=7.5, ip_tokens=ip, ip_tokens_uncond=ip_u,
+                    ip_scale=0.8,
+                ),
+            )
+            out = inpaint_jit(
+                self.params["inpaint_unet"], lat,
                 jnp.asarray(mask)[None, :, :, None], masked_lat, kc(),
-                ctx_p, ctx_n, pooled_p, pooled_n, tid,
-                num_inference_steps=50, strength=strength, guidance_scale=7.5,
-                ip_tokens=ip_cond, ip_tokens_uncond=ip_uncond, ip_scale=0.8,
+                ctx_p, ctx_n, pooled_p, pooled_n, tid, ip_cond, ip_uncond,
             )
-            img = vae_lib.decode(self.params["vae"], out, c.vae)
+            img = vae_dec(self.params["vae"], out)
             return image_io.from_model_range(np.asarray(img[0]))
 
         return inpaint_fn

@@ -38,7 +38,7 @@ def _cast_bf16(params):
     return jax.tree.map(cast, params)
 
 
-def main():
+def main(argv=None, cfg=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="ckpts", help="reference checkpoint root")
     ap.add_argument("--llm-folder", default="llm-retrained")
@@ -49,7 +49,7 @@ def main():
         "--only", default="llm,prior,sdxl,ip,imagebind,gdino",
         help="comma list of component groups to convert",
     )
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     only = set(args.only.split(","))
 
     from instructany2pix_tpu import loaders
@@ -58,7 +58,8 @@ def main():
     from instructany2pix_tpu.models import unet_convert
     from instructany2pix_tpu.pipeline import PipelineConfig
 
-    cfg = PipelineConfig()
+    # `cfg` override: tests convert tiny fixture trees in-process
+    cfg = cfg or PipelineConfig()
     os.makedirs(args.out, exist_ok=True)
 
     def emit(name, params):
@@ -68,6 +69,20 @@ def main():
         ckpt_lib.save(path, params)
         n = sum(x.size for x in __import__("jax").tree.leaves(params))
         print(f"  {name}: {n / 1e6:.1f}M params -> {path}")
+
+    # tokenizers ride along so the orbax root boots self-contained
+    # (pipeline.__init__ reads them from the same relative paths)
+    import shutil
+
+    for rel in (
+        os.path.join(args.llm_folder, "tokenizer"),
+        os.path.join("sdxl-base", "tokenizer"),
+        os.path.join("sdxl-base", "tokenizer_2"),
+        os.path.join("clip-vit-h", "tokenizer"),
+    ):
+        src = os.path.join(args.ckpt, rel)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(args.out, rel), dirs_exist_ok=True)
 
     if "llm" in only:
         print("converting LLM ...")

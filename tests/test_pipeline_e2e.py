@@ -155,6 +155,9 @@ def test_refiner_uses_50_step_grid(pipe, media, monkeypatch):
         return real(*args, **kw)
 
     monkeypatch.setattr(pl.i2i, "img2img", spy)
+    # the refiner stage is a cached jitted graph — drop any prior entry
+    # so this call re-traces through the spy
+    pipe._jitted.pop(("refiner", 0.5), None)
     _seed_cache(pipe, media)
     pipe("edit", media, num_inference_steps=2, refinement=0.5, seed=0,
          use_cache=True)
