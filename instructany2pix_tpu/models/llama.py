@@ -39,7 +39,13 @@ class LlamaConfig:
     num_kv_heads: int = 32
     max_seq_len: int = 2048
     rope_theta: float = 10000.0
-    rms_eps: float = 1e-5
+    # 1e-6 = the HF LlamaConfig default that Vicuna-7B (Llama-1) ships in
+    # its config.json — the reference's LLM class (pipeline.py:22-37).
+    # The repo carried 1e-5 (the Llama-2 convention) until the composed
+    # torch golden (tests/test_composed_pipeline_golden.py) caught the
+    # divergence: with small hidden variance the eps mismatch contributes
+    # Δeps/(2·var) ≈ 0.5% per norm to every hidden state.
+    rms_eps: float = 1e-6
     tie_embeddings: bool = False
     remat: bool = False  # jax.checkpoint each block (reference grad
     # checkpointing, train.py:789-795 / scripts/train.sh:46)

@@ -1,0 +1,720 @@
+"""Composed-pipeline torch golden (VERDICT r3 item 3).
+
+Per-component torch parity already exists (UNet/VAE in
+test_torch_golden_parity, Llama/GPT-2/CLIP vs HF in
+test_llm_models/test_clip, ImageBind in test_imagebind_parity). What was
+never tested is the COMPOSITION: this file assembles official torch
+modules (HF Llama/GPT2/CLIP + the hand-built diffusers-semantics
+UNet/VAE helpers) into a complete reference-semantics edit pipeline at
+tiny dims, loads the same on-disk fixture checkpoint tree the JAX
+pipeline boots from, runs ONE complete edit, and diffs every staged
+intermediate against `InstructAny2PixPipeline.__call__` (reference
+pipeline.py:303-386):
+
+  stage A  caption ids + per-position hiddens + predictor readouts
+           (greedy decode — token-exact)
+  stage B  prior ŷ → mixed conditioning latent_la → inverted latent
+           (post-polar) → denoised image → refined image
+
+Shared inputs (each covered by its own parity test, not re-derived
+here): ImageBind media embeddings (test_imagebind_parity), CLIP-BPE
+token ids (test_clip_tokenizer), image file preprocessing
+(test_pipeline_e2e), and the PRNG noise draws — noise VALUES are
+inputs; the arithmetic applied to them is what this test diffs. The
+torch prior forward here is also the prior's first torch oracle
+(reference prior/model.py:299-381,565-584,623-655).
+"""
+
+import dataclasses
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+F = torch.nn.functional
+
+from instructany2pix_tpu.core.prng import KeyChain, row_normal
+from instructany2pix_tpu.llm import generate as gen_lib
+from instructany2pix_tpu.llm import multimodal as mm_lib
+from instructany2pix_tpu.pipeline import REFINER_NUM_STEPS, InstructAny2PixPipeline
+from instructany2pix_tpu.codecs import image_io
+from instructany2pix_tpu.models.unet_convert import cross_attn_paths
+
+from ckpt_fixtures import build_checkpoint_tree
+from test_torch_golden_parity import (
+    t_lin,
+    t_timestep_embedding,
+    t_unet_forward,
+    t_vae_decode,
+    t_vae_encode_moments,
+)
+
+torch.set_grad_enabled(False)
+
+
+# ------------------------------------------------------------- fixtures
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ckpts")
+    cfg = build_checkpoint_tree(str(root))
+    return str(root), cfg
+
+
+@pytest.fixture(scope="module")
+def pipe(tree):
+    root, cfg = tree
+    return InstructAny2PixPipeline(ckpt=root, tiny=False, config=cfg, seed=0)
+
+
+@pytest.fixture(scope="module")
+def media(tmp_path_factory):
+    from PIL import Image
+    import wave
+
+    d = tmp_path_factory.mktemp("media")
+    rs = np.random.RandomState(3)
+    p1 = str(d / "img1.png")
+    Image.fromarray(rs.randint(0, 255, (80, 96, 3), np.uint8)).save(p1)
+    pw = str(d / "tone.wav")
+    sr = 16000
+    tone = (0.4 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr) * 32767).astype(
+        np.int16
+    )
+    with wave.open(pw, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(tone.tobytes())
+    return [{"type": "image", "fname": p1}, {"type": "audio", "fname": pw}]
+
+
+def _load_sd(path):
+    return {k: v.float() for k, v in torch.load(path, weights_only=True).items()}
+
+
+# --------------------------------------------------- torch LLM pipeline
+
+
+def t_mlp2x(sd, prefix, x):
+    """mlp2x_gelu projector/predictor (reference
+    multimodal_projector/builder.py:33-74): Linear → GELU → Linear."""
+    h = F.gelu(t_lin(sd, f"{prefix}.0", x))
+    return t_lin(sd, f"{prefix}.2", h)
+
+
+def _hf_llama(tree_root, lcfg):
+    import os
+
+    from transformers import LlamaConfig as HFCfg
+    from transformers import LlamaForCausalLM
+
+    sd = _load_sd(os.path.join(tree_root, "llm-retrained", "pytorch_model.bin"))
+    hf = LlamaForCausalLM(
+        HFCfg(
+            vocab_size=lcfg.vocab_size, hidden_size=lcfg.hidden_size,
+            intermediate_size=lcfg.intermediate_size,
+            num_hidden_layers=lcfg.num_layers,
+            num_attention_heads=lcfg.num_heads,
+            num_key_value_heads=lcfg.num_kv_heads,
+            max_position_embeddings=lcfg.max_seq_len,
+        )
+    )
+    missing, _unexpected = hf.load_state_dict(sd, strict=False)
+    assert not missing, missing
+    return hf.eval(), sd
+
+
+def t_llm_greedy(hf, sd, prompt_ids, aux, video_id, max_new, eos_id):
+    """Reference decode semantics (use_cache=False full re-forward,
+    any2pix_llama.py generate path) with multimodal splice: the j-th
+    <video> slot takes the projected j-th conditioning row."""
+    ids = torch.tensor(prompt_ids, dtype=torch.long)
+    emb = hf.model.embed_tokens(ids)
+    proj = t_mlp2x(sd, "model.vae_projector_image", torch.tensor(aux).float())
+    slots = (ids[0] == video_id).nonzero().flatten()
+    for j, pos in enumerate(slots[: proj.shape[0]]):
+        emb[0, pos] = proj[j]
+    toks, hiddens = [], []
+    for _ in range(max_new):
+        h = hf.model(inputs_embeds=emb).last_hidden_state[:, -1]
+        logits = hf.lm_head(h)
+        nxt = int(torch.argmax(logits, dim=-1))
+        toks.append(nxt)
+        hiddens.append(h[0])
+        if nxt == eos_id:
+            break
+        emb = torch.cat(
+            [emb, hf.model.embed_tokens(torch.tensor([[nxt]]))], dim=1
+        )
+    return np.asarray(toks), torch.stack(hiddens)
+
+
+# -------------------------------------------------- torch CLIP encoders
+
+
+def _hf_clip_text(dirpath, tcfg):
+    import os
+
+    from transformers import CLIPTextConfig as HFCfg
+    from transformers import CLIPTextModel, CLIPTextModelWithProjection
+
+    hf_cfg = HFCfg(
+        vocab_size=tcfg.vocab_size, hidden_size=tcfg.hidden_size,
+        intermediate_size=tcfg.intermediate_size,
+        num_hidden_layers=tcfg.num_layers,
+        num_attention_heads=tcfg.num_heads,
+        max_position_embeddings=tcfg.max_positions,
+        hidden_act=tcfg.hidden_act,
+        eos_token_id=tcfg.eos_token_id,
+        projection_dim=tcfg.projection_dim or tcfg.hidden_size,
+    )
+    cls = CLIPTextModelWithProjection if tcfg.projection_dim else CLIPTextModel
+    hf = cls(hf_cfg)
+    hf.load_state_dict(_load_sd(os.path.join(dirpath, "pytorch_model.bin")))
+    return hf.eval()
+
+
+def t_encode_sdxl(hf1, hf2, ids1, ids2):
+    """encode_prompt semantics (SDXL: penultimate hidden of both
+    encoders concatenated; pooled from encoder 2's projection)."""
+    o1 = hf1(input_ids=torch.tensor(ids1).long(), output_hidden_states=True)
+    o2 = hf2(input_ids=torch.tensor(ids2).long(), output_hidden_states=True)
+    h = torch.cat([o1.hidden_states[-2], o2.hidden_states[-2]], dim=-1)
+    return h, o2.text_embeds
+
+
+# -------------------------------------------------------- torch prior
+
+
+def t_prior_no_diffusion(sd, pcfg, src, th, tm, guidance_scale, score, neg_score):
+    """Reference prior generate, no_diffusion single step
+    (prior/model.py:299-381 sequence assembly, 565-584 CFG layout,
+    623-635 AR decode, 576-584 x0-space CFG)."""
+    from transformers import GPT2Config as HFGPT2Config
+    from transformers import GPT2Model
+
+    g = pcfg.gpt2
+    hf = GPT2Model(
+        HFGPT2Config(
+            vocab_size=64, n_positions=g.max_positions, n_embd=g.hidden_size,
+            n_layer=g.num_layers, n_head=g.num_heads,
+        )
+    )
+    hf.load_state_dict(
+        {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+    )
+    hf.eval()
+
+    b = src.shape[0]
+
+    def score_emb(s):
+        return t_timestep_embedding(
+            torch.tensor([s]), pcfg.score_dim
+        ).view(1, 1, -1).repeat(b, 1, 1)
+
+    def dup(c, u):
+        return torch.cat([c, u], dim=0)
+
+    imagebind = torch.tensor(src).float().view(b, 1, -1)
+    th_t, tm_t = torch.tensor(th).float(), torch.tensor(tm).float()
+    from instructany2pix_tpu.prior.model import MODALITY
+
+    cond = {
+        "src_type": dup(
+            torch.full((b, 1), MODALITY.VIDEO, dtype=torch.long),
+            torch.full((b, 1), MODALITY.VIDEO, dtype=torch.long),
+        ),
+        "imagebind": dup(imagebind, torch.zeros_like(imagebind)),
+        "crossattn_clip": (dup(th_t, th_t), dup(tm_t, tm_t)),
+        "score": dup(score_emb(score), score_emb(neg_score)),
+    }
+
+    embeds, masks = [], []
+    for kid, (name, dim) in enumerate(pcfg.sequence_input_key):
+        if name not in cond:
+            continue
+        val = cond[name]
+        if name in ("src_type", "tgt_type"):
+            e = F.embedding(val, sd["modality_embedding.weight"])
+            embeds.append(e)
+            masks.append(torch.ones(val.shape, dtype=torch.float32))
+            continue
+        if isinstance(val, tuple):
+            seq, m = val
+        else:
+            seq = val
+            m = torch.ones(seq.shape[:2], dtype=torch.float32)
+        if dim > 0:
+            seq = F.linear(
+                seq,
+                sd[f"input_sequence_embed_linear.{kid}.weight"],
+                sd[f"input_sequence_embed_linear.{kid}.bias"],
+            )
+        bb = seq.shape[0]
+        sos = sd["start_of_sequence_tokens.weight"][kid].view(1, 1, -1).repeat(bb, 1, 1)
+        eos = sd["end_of_sequence_tokens.weight"][kid].view(1, 1, -1).repeat(bb, 1, 1)
+        one = torch.ones((bb, 1), dtype=m.dtype)
+        embeds.append(torch.cat([sos, seq, eos], dim=1))
+        masks.append(torch.cat([one, m, one], dim=1))
+    emb = torch.cat(embeds, dim=1)
+    mask = torch.cat(masks, dim=1)
+    max_len = g.max_positions - pcfg.sequence_gen_length
+    emb, mask = emb[:, :max_len], mask[:, :max_len]
+
+    outs = []
+    for _ in range(pcfg.sequence_gen_length):
+        h = hf(inputs_embeds=emb, attention_mask=mask).last_hidden_state
+        nxt = h[:, -1:]
+        outs.append(nxt)
+        emb = torch.cat([emb, nxt], dim=1)
+        mask = torch.cat([mask, torch.ones((mask.shape[0], 1))], dim=1)
+    out = torch.cat(outs, dim=1)
+    x0_c, x0_u = out.chunk(2, dim=0)
+    mixed = x0_u + guidance_scale * (x0_c - x0_u)
+    return F.linear(mixed, sd["output_proj.weight"], sd["output_proj.bias"])
+
+
+# ------------------------------------------- torch UNet with IP tokens
+
+
+def _torch_attn2_prefix(path):
+    p = re.sub(r"^down_(\d+)\.attn_(\d+)\.", r"down_blocks.\1.attentions.\2.", path)
+    p = re.sub(r"^up_(\d+)\.attn_(\d+)\.", r"up_blocks.\1.attentions.\2.", p)
+    p = re.sub(r"^mid\.attn\.", "mid_block.attentions.0.", p)
+    return re.sub(r"block_(\d+)\.", r"transformer_blocks.\1.", p)
+
+
+def build_ip_map(ip_sd, ucfg):
+    """ip_adapter.{2i+1}.to_{k,v}_ip in diffusers attn-processor order
+    (reference ip_adapter.py:155-169) → per-attn2 torch weights."""
+    out = {}
+    for i, path in enumerate(cross_attn_paths(ucfg)):
+        out[_torch_attn2_prefix(path)] = (
+            ip_sd[f"ip_adapter.{2 * i + 1}.to_k_ip.weight"],
+            ip_sd[f"ip_adapter.{2 * i + 1}.to_v_ip.weight"],
+        )
+    return out
+
+
+def t_image_proj_global(ip_sd, pcfg, embeds):
+    """ImageProjModel 2-view global mode (reference ip_adapter.py:171-209
+    + resampler raw_embed offsets): → (cond_tokens, uncond_tokens)."""
+    def apply(stacked):
+        b = stacked.shape[0]
+        tok = F.linear(
+            stacked, ip_sd["image_proj.proj.weight"], ip_sd["image_proj.proj.bias"]
+        ).view(b, pcfg.num_crops, pcfg.num_tokens, pcfg.cross_attention_dim)
+        g = tok[:, :1] + ip_sd["image_proj.raw_embed"][0].view(1, 1, 1, -1)
+        tok = g.reshape(b, -1, pcfg.cross_attention_dim)
+        return F.layer_norm(
+            tok, (pcfg.cross_attention_dim,),
+            ip_sd["image_proj.norm.weight"], ip_sd["image_proj.norm.bias"],
+        )
+
+    e = torch.tensor(embeds).float()
+    stacked = torch.stack([e, torch.zeros_like(e)], dim=1)
+    return apply(stacked), apply(torch.zeros_like(stacked))
+
+
+def t_mha_ip(sd, p, x, ctx, heads, ip_tokens, ip_w, ip_scale):
+    b, s, d = x.shape
+    hd = d // heads
+
+    def attend(q, k, v):
+        a = torch.softmax(q @ k.transpose(-1, -2) / np.sqrt(hd), dim=-1)
+        return (a @ v).transpose(1, 2).reshape(b, s, d)
+
+    q = t_lin(sd, f"{p}.to_q", x, bias=False).view(b, s, heads, hd).transpose(1, 2)
+    k = t_lin(sd, f"{p}.to_k", ctx, bias=False).view(b, -1, heads, hd).transpose(1, 2)
+    v = t_lin(sd, f"{p}.to_v", ctx, bias=False).view(b, -1, heads, hd).transpose(1, 2)
+    o = attend(q, k, v)
+    if ip_tokens is not None and ip_w is not None:
+        k_ip = F.linear(ip_tokens, ip_w[0]).view(b, -1, heads, hd).transpose(1, 2)
+        v_ip = F.linear(ip_tokens, ip_w[1]).view(b, -1, heads, hd).transpose(1, 2)
+        o = o + ip_scale * attend(q, k_ip, v_ip)
+    return t_lin(sd, f"{p}.to_out.0", o)
+
+
+def t_transformer_ip(sd, p, x, ctx, heads, depth, groups, ip_tokens, ip_map,
+                     ip_scale):
+    from test_torch_golden_parity import t_gn, t_mha
+
+    b, c, hh, ww = x.shape
+    res = x
+    h = t_gn(sd, f"{p}.norm", x, groups, 1e-6)
+    h = h.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+    h = t_lin(sd, f"{p}.proj_in", h)
+    for i in range(depth):
+        tb = f"{p}.transformer_blocks.{i}"
+        n = F.layer_norm(h, (c,), sd[f"{tb}.norm1.weight"], sd[f"{tb}.norm1.bias"])
+        h = h + t_mha(sd, f"{tb}.attn1", n, n, heads)
+        n = F.layer_norm(h, (c,), sd[f"{tb}.norm2.weight"], sd[f"{tb}.norm2.bias"])
+        h = h + t_mha_ip(
+            sd, f"{tb}.attn2", n, ctx, heads, ip_tokens,
+            ip_map.get(f"{tb}.attn2"), ip_scale,
+        )
+        n = F.layer_norm(h, (c,), sd[f"{tb}.norm3.weight"], sd[f"{tb}.norm3.bias"])
+        ff = t_lin(sd, f"{tb}.ff.net.0.proj", n)
+        a, gte = ff.chunk(2, dim=-1)
+        h = h + t_lin(sd, f"{tb}.ff.net.2", a * F.gelu(gte))
+    h = t_lin(sd, f"{p}.proj_out", h)
+    return h.reshape(b, hh, ww, c).permute(0, 3, 1, 2) + res
+
+
+def t_unet_ip_forward(sd, cfg, sample, t, ctx, pooled, time_ids, ip_tokens,
+                      ip_map, ip_scale):
+    """t_unet_forward with the IP-Adapter decoupled-KV branch threaded
+    through every cross-attention (reference attention_processor.py
+    IPAttnProcessor)."""
+    from test_torch_golden_parity import t_conv, t_gn, t_resnet
+
+    g = cfg.norm_num_groups
+    b = sample.shape[0]
+    temb = t_timestep_embedding(t, cfg.block_out_channels[0])
+    temb = t_lin(sd, "time_embedding.linear_2",
+                 F.silu(t_lin(sd, "time_embedding.linear_1", temb)))
+    tid = t_timestep_embedding(time_ids.reshape(-1), cfg.addition_time_embed_dim)
+    add = torch.cat([pooled, tid.reshape(b, -1)], dim=-1)
+    temb = temb + t_lin(sd, "add_embedding.linear_2",
+                        F.silu(t_lin(sd, "add_embedding.linear_1", add)))
+
+    def xf(prefix, h, i):
+        return t_transformer_ip(
+            sd, prefix, h, ctx, cfg.num_attention_heads[i],
+            cfg.transformer_layers_per_block[i], g, ip_tokens, ip_map, ip_scale,
+        )
+
+    h = t_conv(sd, "conv_in", sample)
+    skips = [h]
+    for i, btype in enumerate(cfg.down_block_types):
+        for j in range(cfg.layers_per_block):
+            h = t_resnet(sd, f"down_blocks.{i}.resnets.{j}", h, temb, g)
+            if btype == "CrossAttnDownBlock2D":
+                h = xf(f"down_blocks.{i}.attentions.{j}", h, i)
+            skips.append(h)
+        if i < len(cfg.block_out_channels) - 1:
+            h = t_conv(sd, f"down_blocks.{i}.downsamplers.0.conv", h, stride=2)
+            skips.append(h)
+
+    h = t_resnet(sd, "mid_block.resnets.0", h, temb, g)
+    h = t_transformer_ip(
+        sd, "mid_block.attentions.0", h, ctx, cfg.num_attention_heads[-1],
+        cfg.transformer_layers_per_block[-1], g, ip_tokens, ip_map, ip_scale,
+    )
+    h = t_resnet(sd, "mid_block.resnets.1", h, temb, g)
+
+    rev_types = list(reversed(cfg.down_block_types))
+    rev_heads = list(reversed(cfg.num_attention_heads))
+    rev_depth = list(reversed(cfg.transformer_layers_per_block))
+    for i, btype in enumerate(rev_types):
+        for j in range(cfg.layers_per_block + 1):
+            h = torch.cat([h, skips.pop()], dim=1)
+            h = t_resnet(sd, f"up_blocks.{i}.resnets.{j}", h, temb, g)
+            if btype == "CrossAttnDownBlock2D":
+                h = t_transformer_ip(
+                    sd, f"up_blocks.{i}.attentions.{j}", h, ctx, rev_heads[i],
+                    rev_depth[i], g, ip_tokens, ip_map, ip_scale,
+                )
+        if i < len(cfg.block_out_channels) - 1:
+            h = F.interpolate(h, scale_factor=2.0, mode="nearest")
+            h = t_conv(sd, f"up_blocks.{i}.upsamplers.0.conv", h)
+
+    h = F.silu(t_gn(sd, "conv_norm_out", h, g, 1e-5))
+    return t_conv(sd, "conv_out", h)
+
+
+# ------------------------------------------------- torch DDIM schedule
+
+
+class TSched:
+    """scaled_linear SDXL schedule, leading spacing, offset 1,
+    set_alpha_to_one=False — the diffusers DDIM convention."""
+
+    def __init__(self, n=1000, b0=0.00085, b1=0.012):
+        betas = np.linspace(b0**0.5, b1**0.5, n) ** 2
+        self.ac = np.cumprod(1.0 - betas)
+        self.n = n
+
+    def a(self, t):
+        return float(self.ac[t]) if t >= 0 else float(self.ac[0])
+
+    def timesteps(self, steps):
+        step = self.n // steps
+        return ((np.arange(steps) * step).round()[::-1] + 1).astype(int)
+
+    def ddim_step(self, eps, t, t_prev, x):
+        a_t, a_p = self.a(t), self.a(t_prev)
+        x0 = (x - np.sqrt(1 - a_t) * eps) / np.sqrt(a_t)
+        return (np.sqrt(a_p) * x0 + np.sqrt(1 - a_p) * eps).astype(np.float32)
+
+    def ddim_inverse_step(self, eps, t, t_next, x):
+        a_t, a_n = self.a(t), self.a(t_next)
+        x0 = (x - np.sqrt(1 - a_t) * eps) / np.sqrt(a_t)
+        return (np.sqrt(a_n) * x0 + np.sqrt(1 - a_n) * eps).astype(np.float32)
+
+    def add_noise(self, x0, noise, t):
+        a = self.a(t)
+        return (np.sqrt(a) * x0 + np.sqrt(1 - a) * noise).astype(np.float32)
+
+
+def nchw(x):
+    return torch.tensor(np.asarray(x, np.float32)).permute(0, 3, 1, 2)
+
+
+def nhwc(x):
+    return x.permute(0, 2, 3, 1).numpy()
+
+
+# ---------------------------------------------------------------- tests
+
+
+SEED = 11
+
+
+def _rel(a, b):
+    a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+
+
+def test_stage_a_llm_greedy_token_exact(tree, pipe, media):
+    root, cfg = tree
+    inst = "combine <video> with the sound of <video>"
+    aux = np.asarray(pipe.embed_mm_data(media), np.float32)
+    input_ids, emb = pipe._prepare_llm_inputs(inst, aux)
+    eos_id = getattr(pipe.tokenizer, "eos_token_id", 2)
+
+    res = gen_lib.generate(
+        pipe.params["llm"]["llama"], cfg.llm.llama, emb, jax.random.key(0),
+        max_new_tokens=10, temperature=0.0, eos_id=eos_id,
+    )
+    jt = np.asarray(res.tokens[0])
+    n = int(np.where(jt == eos_id)[0][0]) + 1 if eos_id in jt else len(jt)
+
+    hf, sd = _hf_llama(root, cfg.llm.llama)
+    video_id = pipe.token_ids["<video>"]
+    tt, th = t_llm_greedy(hf, sd, input_ids, aux, video_id, 10, eos_id)
+
+    # caption ids: token-exact greedy parity through the spliced prompt
+    assert list(jt[:n]) == list(tt[:n]), (jt[:n], tt[:n])
+    # hiddens that sampled each token
+    jh = np.asarray(res.hiddens[0, :n], np.float32)
+    assert _rel(jh, th[:n].numpy()) < 2e-4
+    # predictor readout parity (the embedding the prior consumes)
+    j_pred = np.asarray(
+        mm_lib.predict_image_embedding(pipe.params["llm"], res.hiddens[0, :1])
+    )
+    t_pred = t_mlp2x(sd, "model.vae_predictor_image", th[:1]).numpy()
+    assert _rel(j_pred, t_pred) < 2e-4
+
+
+def test_stage_b_composed_edit_matches_torch(tree, pipe, media):
+    import os
+
+    root, cfg = tree
+    steps = 4
+    refinement = 0.4
+    alpha = 0.7
+    inst = "combine <video> with the sound of <video>"
+
+    # common seeded LLM output for BOTH sides (the LLM stage itself is
+    # diffed token-exactly in stage A; a random tiny LLM rarely emits
+    # the <im_gen>…<video> pattern, reference pipeline.py:217-221)
+    rs = np.random.RandomState(7)
+    dcodec = cfg.llm.image_codec_dim
+    image_embeds = rs.randn(1, dcodec).astype(np.float32)
+    base_embed = rs.randn(dcodec).astype(np.float32)
+    caption = "a cat by the sea"
+    pipe.cache = (
+        jnp.asarray(image_embeds), jnp.asarray(base_embed), caption,
+        media[0]["fname"],
+        dict(all_objs=[], extra_embeds=np.zeros((0, dcodec), np.float32),
+             extra_idx=[]),
+    )
+
+    nr_jax, oo_jax, dbg = pipe(
+        inst, media, num_inference_steps=steps, refinement=refinement,
+        alpha=alpha, seed=SEED, use_cache=True, debug=True,
+    )
+
+    # ---------------- torch side: full composition from the same tree
+    # PRNG draw order of __call__ (noise values are shared inputs)
+    kc = KeyChain(SEED)
+    _k_llm = kc()
+    k_enc, k_polar, k_refenc, k_ref = kc(), kc(), kc(), kc()
+
+    # prior text conditioning ("" prompt)
+    hf_pt = _hf_clip_text(os.path.join(root, "clip-vit-h"), cfg.prior_text)
+    ids_pt = pipe._clip_ids(
+        pipe.prior_tok, "", cfg.prior.text_len, cfg.prior_text.eos_token_id
+    )
+    o_pt = hf_pt(input_ids=torch.tensor(ids_pt).long())
+    th = o_pt.last_hidden_state.numpy()
+    arr = np.asarray(ids_pt)[0]
+    eos = cfg.prior_text.eos_token_id
+    hits = np.nonzero(arr == eos)[0]
+    ntok = int(hits[0]) + 1 if len(hits) else arr.shape[0]
+    tm = (np.arange(arr.shape[0]) < ntok).astype(np.float32)[None]
+
+    # prior ŷ (no_diffusion single step, reference pipeline.py:313-317)
+    sd_prior = _load_sd(os.path.join(root, "prior", "model.bin"))
+    src = image_embeds / (np.linalg.norm(image_embeds) + 1e-9) * 100.0
+    y_t = t_prior_no_diffusion(
+        sd_prior, cfg.prior, src, th, tm, guidance_scale=10.0, score=6.5,
+        neg_score=2.0,
+    )[:, 0].numpy()
+    y_jax = np.asarray(dbg["y"], np.float32)  # debug carries y/‖y‖
+    y_tn = y_t / (np.linalg.norm(y_t) + 1e-9)
+    assert _rel(y_tn, y_jax) < 5e-4, _rel(y_tn, y_jax)
+
+    # conditioning mix (reference pipeline.py:322-324)
+    la = 0.0 * base_embed[None] + 0.4 * image_embeds + 1.0 * 20.0 * y_tn
+    la = la / (np.linalg.norm(la, axis=-1, keepdims=True) + 1e-9) * 20.0
+    assert _rel(la, np.asarray(dbg["latent_la"])) < 5e-4
+
+    # VAE encode of the base image (shared file loader, shared noise)
+    sd_vae = _load_sd(
+        os.path.join(root, "sdxl-base", "vae", "diffusion_pytorch_model.bin")
+    )
+    img_base = image_io.resize_and_crop(media[0]["fname"], cfg.image_size)
+    x = image_io.to_model_range(img_base)[None]
+    mean, logvar = t_vae_encode_moments(sd_vae, cfg.vae, nchw(x))
+    n_enc = np.asarray(row_normal(k_enc, tuple(mean.permute(0, 2, 3, 1).shape)))
+    z = mean + torch.exp(0.5 * logvar) * nchw(n_enc)
+    src_lat = z * cfg.vae.scaling_factor
+
+    # text encoders
+    hf1 = _hf_clip_text(os.path.join(root, "sdxl-base", "text_encoder"), cfg.text1)
+    hf2 = _hf_clip_text(
+        os.path.join(root, "sdxl-base", "text_encoder_2"), cfg.text2
+    )
+
+    def sdxl_ids(prompt):
+        i1 = pipe._clip_ids(
+            pipe.clip_tok1, prompt, cfg.text1.max_positions, cfg.text1.eos_token_id
+        )
+        i2 = pipe._clip_ids(
+            pipe.clip_tok2, prompt, cfg.text2.max_positions, cfg.text2.eos_token_id
+        )
+        return i1, i2
+
+    ctx_null, pooled_null = t_encode_sdxl(hf1, hf2, *sdxl_ids(""))
+    prompt = "best quality, high quality" + caption
+    ctx_p, pooled_p = t_encode_sdxl(hf1, hf2, *sdxl_ids(prompt))
+
+    # DDIM inversion (no CFG, null prompt — reference pipeline.py:330)
+    sd_unet = _load_sd(
+        os.path.join(root, "sdxl-base", "unet", "diffusion_pytorch_model.bin")
+    )
+    sched = TSched()
+    tsd = sched.timesteps(steps)  # descending
+    tsa = tsd[::-1]
+    size = cfg.image_size
+    tid = torch.tensor([[size, size, 0, 0, size, size]], dtype=torch.float32)
+    lat = src_lat.clone()
+    for i, t in enumerate(tsa):
+        t_prev = -1 if i == 0 else int(tsa[i - 1])
+        eps = t_unet_forward(
+            sd_unet, cfg.unet, lat, torch.tensor([int(t)]), ctx_null,
+            pooled_null, tid,
+        )
+        lat = torch.tensor(
+            sched.ddim_inverse_step(eps.numpy(), t_prev, int(t), lat.numpy())
+        )
+
+    # polar interpolation toward Gaussian noise (reference
+    # pipeline.py:295-300; the noise values are a shared input)
+    noise_polar = np.asarray(
+        jax.random.normal(k_polar, nhwc(lat).shape), np.float32
+    )
+    xf = nhwc(lat).astype(np.float32)
+    ll = alpha * xf + (1 - alpha) * noise_polar
+    nx, ny, nl = (np.linalg.norm(v.reshape(-1)) for v in (xf, noise_polar, ll))
+    lat_inv = ll / (nl + 1e-9) * (alpha * nx + (1 - alpha) * ny)
+    assert _rel(lat_inv, np.asarray(dbg["latent_inv"], np.float32)) < 2e-3, (
+        _rel(lat_inv, np.asarray(dbg["latent_inv"], np.float32))
+    )
+
+    # IP tokens from the mixed conditioning (global mode)
+    ip_sd = _load_sd(
+        os.path.join(root, "sdxl", "ip_adapter_global_local_2_view.bin")
+    )
+    ip_cond, ip_uncond = t_image_proj_global(ip_sd, cfg.image_proj, la)
+    ip_map = build_ip_map(ip_sd, cfg.unet)
+
+    # CFG denoise with IP tokens (uncond first, diffusers order)
+    lat = torch.tensor(lat_inv).permute(0, 3, 1, 2)
+    ctx2 = torch.cat([ctx_null, ctx_p], dim=0)
+    pooled2 = torch.cat([pooled_null, pooled_p], dim=0)
+    ip2 = torch.cat([ip_uncond, ip_cond], dim=0)
+    tid2 = tid.repeat(2, 1)
+    gs = 10.0
+    for i, t in enumerate(tsd):
+        t_prev = int(tsd[i + 1]) if i + 1 < len(tsd) else -1
+        eps = t_unet_ip_forward(
+            sd_unet, cfg.unet, lat.repeat(2, 1, 1, 1),
+            torch.tensor([int(t), int(t)]), ctx2, pooled2, tid2, ip2, ip_map,
+            1.0,
+        )
+        eps_u, eps_c = eps.chunk(2, dim=0)
+        eps_m = (eps_u + gs * (eps_c - eps_u)).numpy()
+        lat = torch.tensor(sched.ddim_step(eps_m, int(t), t_prev, lat.numpy()))
+
+    img = t_vae_decode(sd_vae, cfg.vae, lat)
+    nr_t = image_io.from_model_range(nhwc(img)[0])
+    diff_nr = np.abs(nr_t.astype(np.int32) - np.asarray(nr_jax, np.int32))
+    assert diff_nr.max() <= 3 and diff_nr.mean() < 0.5, (
+        diff_nr.max(), diff_nr.mean()
+    )
+
+    # refiner img2img (fixed 50-step grid, reference pipeline.py:358)
+    sd_ref = _load_sd(
+        os.path.join(root, "sdxl-refiner", "unet", "diffusion_pytorch_model.bin")
+    )
+    rprompt = caption + ",high quality,well-formed,award-winning"
+    ids2 = pipe._clip_ids(
+        pipe.clip_tok2, rprompt, cfg.text2.max_positions, cfg.text2.eos_token_id
+    )
+    o2 = hf2(input_ids=torch.tensor(ids2).long(), output_hidden_states=True)
+    ids2n = pipe._clip_ids(
+        pipe.clip_tok2, "", cfg.text2.max_positions, cfg.text2.eos_token_id
+    )
+    o2n = hf2(input_ids=torch.tensor(ids2n).long(), output_hidden_states=True)
+    rctx2 = torch.cat([o2n.hidden_states[-2], o2.hidden_states[-2]], dim=0)
+    rpooled2 = torch.cat([o2n.text_embeds, o2.text_embeds], dim=0)
+    rtid2 = torch.tensor(
+        [[size, size, 0, 0, 2.5], [size, size, 0, 0, 6.0]], dtype=torch.float32
+    )
+
+    xr = image_io.to_model_range(nr_t)[None]
+    mean_r, logvar_r = t_vae_encode_moments(sd_vae, cfg.vae, nchw(xr))
+    n_re = np.asarray(row_normal(k_refenc, tuple(mean_r.permute(0, 2, 3, 1).shape)))
+    rlat = (mean_r + torch.exp(0.5 * logvar_r) * nchw(n_re)) * cfg.vae.scaling_factor
+
+    ts_all = sched.timesteps(REFINER_NUM_STEPS)
+    init_t = min(int(REFINER_NUM_STEPS * refinement), REFINER_NUM_STEPS)
+    ts_r = ts_all[max(REFINER_NUM_STEPS - init_t, 0):]
+    n_ref = np.asarray(row_normal(k_ref, tuple(rlat.permute(0, 2, 3, 1).shape)))
+    lat = torch.tensor(
+        sched.add_noise(rlat.numpy(), nchw(n_ref).numpy(), int(ts_r[0]))
+    ).float()
+    for i, t in enumerate(ts_r):
+        t_prev = int(ts_r[i + 1]) if i + 1 < len(ts_r) else -1
+        eps = t_unet_forward(
+            sd_ref, cfg.refiner, lat.repeat(2, 1, 1, 1),
+            torch.tensor([int(t), int(t)]), rctx2, rpooled2, rtid2,
+        )
+        eps_u, eps_c = eps.chunk(2, dim=0)
+        eps_m = (eps_u + 5.0 * (eps_c - eps_u)).numpy()
+        lat = torch.tensor(sched.ddim_step(eps_m, int(t), t_prev, lat.numpy()))
+
+    rimg = t_vae_decode(sd_vae, cfg.vae, lat)
+    oo_t = image_io.from_model_range(nhwc(rimg)[0])
+    diff_oo = np.abs(oo_t.astype(np.int32) - np.asarray(oo_jax, np.int32))
+    assert diff_oo.max() <= 4 and diff_oo.mean() < 0.8, (
+        diff_oo.max(), diff_oo.mean()
+    )

@@ -22,7 +22,9 @@ def _tiny_hf_llama():
         num_attention_heads=4,
         num_key_value_heads=4,
         max_position_embeddings=128,
-        rms_norm_eps=1e-5,
+        # 1e-6 = the HF default Vicuna-7B ships; the jax LlamaConfig
+        # matches it (the composed golden caught the old 1e-5 mismatch)
+        rms_norm_eps=1e-6,
         rope_theta=10000.0,
         tie_word_embeddings=False,
     )
