@@ -85,6 +85,9 @@ class StagedParams(Mapping):
             "load_s": {},  # first materialization (factory) per group
             "swap_s": 0.0,  # cumulative host->device re-materialization
             "swaps": 0,
+            "swap_bytes": 0,  # cumulative re-staged bytes (deployment
+            # projection: swap_bytes / PCIe-class bandwidth = staging
+            # cost off this dev tunnel)
             "evict_s": 0.0,  # cumulative eviction (incl. device->host pulls)
             "evictions": [],  # group names in eviction order
         }
@@ -141,11 +144,33 @@ class StagedParams(Mapping):
     def _materialize(self, name: str) -> Any:
         if name not in self._factories:
             raise KeyError(name)
+        # evict BEFORE materializing when the incoming size is known
+        # (host-cached groups) — staging first and shrinking after puts
+        # the PEAK at live+incoming, which OOMs a full chip even though
+        # the steady state fits (r4 wall-clock bench, 14 GB live + 4.5 GB
+        # refiner on a 16 GB v5e)
+        if name in self._host:
+            incoming = tree_device_bytes(self._host[name])
+            while self._live_bytes() + incoming > self._budget:
+                victim = next(
+                    (n for n in self._order if n not in self._pin), None
+                )
+                if victim is None:
+                    break
+                self._evict(victim)
         t0 = time.perf_counter()
         if name in self._host:
             tree = jax.tree.map(jnp.asarray, self._host[name])
+            # device_put is ASYNC — without a barrier the transfer tail
+            # lands inside whichever compute stage syncs next, inflating
+            # it (r4 wall-clock: a 167 s "inversion" that was mostly the
+            # UNet group still in flight). Block here so swap_s is the
+            # true host→device residency cost.
+            jax.block_until_ready(tree)
+            _device_barrier()
             self.stats["swap_s"] += time.perf_counter() - t0
             self.stats["swaps"] += 1
+            self.stats["swap_bytes"] += tree_device_bytes(tree)
         else:
             tree = self._factories[name]()
             self.stats["load_s"][name] = time.perf_counter() - t0

@@ -241,7 +241,7 @@ def quantize_llama(params, bits: int = 8, free_originals: bool = False,
 
 
 def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False,
-                interpret: bool = False, tile_scale: bool = False):
+                interpret: bool = False, variant: str = "chain"):
     """One output tile of x @ dequant(W): x (M, K) resident, W block
     (K, bn) int8 (or (K/2, bn) packed int4) dequantized in VMEM — the
     bf16 kernel never exists in HBM, so decode reads bits/8 bytes per
@@ -272,7 +272,7 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False,
         g_count = s_ref.shape[0]
         group = w.shape[0] // g_count
         wd = w.astype(x.dtype)
-        if tile_scale:
+        if variant == "tile":
             # A/B variant (IA2P_QMV_GROUPED=tile): scale the dequantized
             # tile blockwise in VMEM — a (G, group, bn) broadcast multiply
             # (pure outer-dim reshape, no relayout) — then ONE full-K dot
@@ -285,6 +285,21 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False,
             acc = jnp.dot(
                 x, ws.reshape(w.shape[0], -1), preferred_element_type=jnp.float32
             )
+            o_ref[:] = acc.astype(o_ref.dtype)
+            return
+        if variant == "batched":
+            # A/B variant (IA2P_QMV_GROUPED=batched): ONE G-batched
+            # dot_general replaces the G-deep sequential partial-dot
+            # chain (the chain's per-dot issue latency is the suspected
+            # M=1 tax, PERF.md §2), then a (G, M, bn) × (G, 1, bn)
+            # weighted reduce lands the blockwise scales.
+            x3 = x.reshape(x.shape[0], g_count, group).transpose(1, 0, 2)
+            part = jax.lax.dot_general(
+                x3, wd.reshape(g_count, group, wd.shape[1]),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (G, M, bn)
+            acc = jnp.sum(part * s_ref[:][:, None, :].astype(jnp.float32), axis=0)
             o_ref[:] = acc.astype(o_ref.dtype)
             return
         acc = jnp.zeros((x.shape[0], o_ref.shape[1]), jnp.float32)
@@ -345,7 +360,7 @@ def pallas_qmatmul(
         # −1 %. M≤16 rows keep the extra x bytes negligible.
         x2 = x2.astype(jnp.float32)
 
-    tile_scale = _QMV_GROUPED_VARIANT == "tile"
+    variant = _QMV_GROUPED_VARIANT
     while n % block_n:
         block_n //= 2
     # VMEM budget: the double-buffered PACKED weight block plus the
@@ -353,9 +368,9 @@ def pallas_qmatmul(
     # the packed bytes (k·bn·bits/8 ≤ 4.2 MB): int8 caps at the
     # measured-best 4096×1024 config; int4's half-size rows allow 2×
     # wider blocks (11008×512 / 4096×1024) — see the docstring A/B.
-    # The tile_scale variant keeps TWO unpacked (K, bn) tiles live
+    # The tile variant keeps TWO unpacked (K, bn) tiles live
     # (wd + ws), so it gets half the width.
-    packed_budget = 2.1e6 if (grouped and tile_scale) else 4.2e6
+    packed_budget = 2.1e6 if (grouped and variant == "tile") else 4.2e6
     while block_n > 128 and k * block_n * bits / 8 > packed_budget:
         block_n //= 2
     if grouped:
@@ -367,7 +382,7 @@ def pallas_qmatmul(
     out = pl.pallas_call(
         __import__("functools").partial(
             _qmv_kernel, bits=bits, grouped=grouped, interpret=interpret,
-            tile_scale=tile_scale,
+            variant=variant,
         ),
         grid=(n // block_n,),
         in_specs=[

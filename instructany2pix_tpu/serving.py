@@ -141,20 +141,35 @@ class BatchedDenoiser:
 
     def __init__(
         self,
-        unet_params,
-        unet_cfg: unet_lib.UNetConfig,
+        unet_params=None,
+        unet_cfg: unet_lib.UNetConfig = None,  # type: ignore[assignment]
         mesh=None,
         schedule: Optional[Schedule] = None,
         shard_model: bool = True,
+        params_provider: Optional[Callable[[], Any]] = None,
     ):
+        """`params_provider` (single-chip staged deployments): resolve
+        the UNet tree per batch instead of capturing it — a
+        StagedParams store deletes evicted device buffers, so a
+        captured tree would go stale between batches."""
         self.cfg = unet_cfg
         self.mesh = mesh or make_mesh(n_model=1)
         self.schedule = schedule or Schedule.create(SchedulerConfig())
-        if shard_model and self.mesh.devices.size > 1:
+        self._provider = params_provider
+        if params_provider is not None:
+            assert self.mesh.devices.size == 1, (
+                "staged params are a single-chip deployment; multi-chip "
+                "meshes hold the UNet resident (pass unet_params)"
+            )
+            self.params = None
+        elif shard_model and self.mesh.devices.size > 1:
             self.params = sh.apply_tp_rules(unet_params, self.mesh, sh.UNET_TP_RULES)
         else:
             self.params = unet_params
         self._jitted: Dict[Any, Callable] = {}
+
+    def _resolve_params(self):
+        return self._provider() if self._provider is not None else self.params
 
     def _get_fn(self, steps: int, guidance: float, ip_scale: float = 1.0):
         key = (steps, guidance, ip_scale)
@@ -202,7 +217,10 @@ class BatchedDenoiser:
         fn = self._get_fn(reqs[0].num_inference_steps, reqs[0].guidance_scale,
                           reqs[0].ip_scale)
         with jax.set_mesh(self.mesh):
-            out = fn(self.params, lat, ctx, ctx_u, pooled, pooled_u, tid, ip, ip_u)
+            out = fn(
+                self._resolve_params(), lat, ctx, ctx_u, pooled, pooled_u,
+                tid, ip, ip_u,
+            )
         out = np.asarray(out)
         return [out[i] for i in range(n)]
 
@@ -311,7 +329,14 @@ class PipelineServer:
         self.mesh = mesh or make_mesh(n_model=1)
         self.bucket = bucket
         self.max_new_tokens = max_new_tokens
+        from .core.staging import StagedParams
+
+        staged = isinstance(pipe.params, StagedParams)
         multi = self.mesh.devices.size > 1 and shard_model
+        assert not (staged and multi), (
+            "StagedParams is a single-chip deployment; multi-chip serving "
+            "holds everything resident and sharded"
+        )
         if multi:
             _sh.assert_unfused_for_tp(pipe.params["llm"]["llama"])
             pipe.params["llm"]["llama"] = _sh.apply_tp_rules(
@@ -325,8 +350,10 @@ class PipelineServer:
 
             _os.environ["IA2P_QMV"] = "off"
         self.denoiser = BatchedDenoiser(
-            pipe.params["unet"], pipe.cfg.unet, mesh=self.mesh,
-            schedule=pipe.schedule, shard_model=multi,
+            None if staged else pipe.params["unet"], pipe.cfg.unet,
+            mesh=self.mesh, schedule=pipe.schedule, shard_model=multi,
+            # staged store: resolve per batch — evictions delete buffers
+            params_provider=(lambda: pipe.params["unet"]) if staged else None,
         )
         self.scheduler = BatchScheduler(
             self._run_batch, max_batch, max_wait_s,
@@ -334,7 +361,18 @@ class PipelineServer:
                 req.num_inference_steps, req.cfg, req.refinement, req.scale
             ),
         )
+        self._jits: Dict[Any, Callable] = {}
         self.scheduler.start()
+
+    def _jit(self, key, maker):
+        """Per-server jit cache: stage graphs (inversion/refiner/VAE/
+        prior) trace once per (key, shapes) instead of re-tracing every
+        microbatch — on a 1-core host the eager 50-step scan retrace
+        costs seconds per batch. Params ride as arguments so a staged
+        store can swap weights between batches."""
+        if key not in self._jits:
+            self._jits[key] = jax.jit(maker())
+        return self._jits[key]
 
     def submit(self, req: PipelineRequest) -> Future:
         return self.scheduler.submit(req)
@@ -417,11 +455,13 @@ class PipelineServer:
         th, tm = pipe._encode_prior_text("")
         th = jnp.tile(th, (len(live), 1, 1))
         tm = jnp.tile(tm, (len(live), 1))
-        y = prior_lib.generate_diffusion(
-            pipe.params["prior"], c.prior, prior_lib.MODALITY.VIDEO,
-            prior_lib.MODALITY.IMAGE, srcs, th, tm,
-            guidance_scale=10.0, score=6.5, no_diffusion=True,
-        )[:, 0]
+        y = self._jit(
+            "prior",
+            lambda: lambda p, s, th, tm: prior_lib.generate_diffusion(
+                p, c.prior, prior_lib.MODALITY.VIDEO, prior_lib.MODALITY.IMAGE,
+                s, th, tm, guidance_scale=10.0, score=6.5, no_diffusion=True,
+            )[:, 0],
+        )(pipe.params["prior"], srcs, th, tm)
 
         # ---- latents: per-request mix (cheap), batched VAE + inversion
         imgs, lat_las = [], []
@@ -440,14 +480,22 @@ class PipelineServer:
 
         steps = reqs[live[0]].num_inference_steps
         vae_keys = jnp.stack([_jax.random.key(reqs[i].seed) for i in live])
-        src_lat = vae_lib.encode(pipe.params["vae"], x, key=vae_keys, cfg=c.vae)
+        vae_enc = self._jit(
+            "vae_enc", lambda: lambda p, x, k: vae_lib.encode(p, x, key=k, cfg=c.vae)
+        )
+        src_lat = vae_enc(pipe.params["vae"], x, vae_keys)
         ctx_null, pooled_null = pipe._encode_sdxl_prompt("")
         b = len(live)
         tid = S.default_time_ids(c.image_size, c.image_size, b)
-        latent_inv = S.ddim_invert(
-            pipe.params["unet"], c.unet, pipe.schedule, src_lat,
-            jnp.tile(ctx_null, (b, 1, 1)), jnp.tile(pooled_null, (b, 1)), tid,
-            num_inference_steps=steps,
+        latent_inv = self._jit(
+            ("invert", steps),
+            lambda: lambda p, lat, ctx, pooled, tid: S.ddim_invert(
+                p, c.unet, pipe.schedule, lat, ctx, pooled, tid,
+                num_inference_steps=steps,
+            ),
+        )(
+            pipe.params["unet"], src_lat, jnp.tile(ctx_null, (b, 1, 1)),
+            jnp.tile(pooled_null, (b, 1)), tid,
         )
         from .core.prng import row_normal
         noise_keys = jnp.stack([_jax.random.key(reqs[i].seed + 1) for i in live])
@@ -473,8 +521,13 @@ class PipelineServer:
             pipe._clip_ids(pipe.clip_tok2, pr, c.text2.max_positions,
                            c.text2.eos_token_id) for pr in prompts
         ])
-        ctx_p, pooled_p = S.encode_prompt_sdxl(
-            pipe.params["text1"], c.text1, pipe.params["text2"], c.text2,
+        ctx_p, pooled_p = self._jit(
+            "sdxl_prompt",
+            lambda: lambda t1, t2, i1, i2: S.encode_prompt_sdxl(
+                t1, c.text1, t2, c.text2, i1, i2
+            ),
+        )(
+            pipe.params["text1"], pipe.params["text2"],
             jnp.asarray(ids1), jnp.asarray(ids2),
         )
         ip_cond, ip_uncond = ipa_lib.get_image_embeds(
@@ -499,9 +552,10 @@ class PipelineServer:
         lats = self.denoiser.run_batch(edits)
 
         # ---- decode stage: one batched VAE decode
-        dec = vae_lib.decode(
-            pipe.params["vae"], jnp.asarray(np.stack(lats)), c.vae
+        vae_dec = self._jit(
+            "vae_dec", lambda: lambda p, z: vae_lib.decode(p, z, c.vae)
         )
+        dec = vae_dec(pipe.params["vae"], jnp.asarray(np.stack(lats)))
 
         # ---- refiner stage (batch shares `refinement` via the bucket):
         # one batched img2img through the refiner UNet, per-row keys
@@ -518,13 +572,17 @@ class PipelineServer:
                 pipe._clip_ids(pipe.clip_tok2, pr, c.text2.max_positions,
                                c.text2.eos_token_id) for pr in rprompts
             ])
-            o2 = clip_lib.text_apply(pipe.params["text2"], jnp.asarray(rids2), c.text2)
+            text2_fn = self._jit(
+                "text2_apply",
+                lambda: lambda p, i: clip_lib.text_apply(p, i, c.text2),
+            )
+            o2 = text2_fn(pipe.params["text2"], jnp.asarray(rids2))
             rctx = o2["hidden_states"][-2]
             rpooled = o2.get("text_embeds", o2["pooled"])
             rids2n = pipe._clip_ids(
                 pipe.clip_tok2, "", c.text2.max_positions, c.text2.eos_token_id
             )
-            o2n = clip_lib.text_apply(pipe.params["text2"], jnp.asarray(rids2n), c.text2)
+            o2n = text2_fn(pipe.params["text2"], jnp.asarray(rids2n))
             rctx_u = jnp.tile(o2n["hidden_states"][-2], (b, 1, 1))
             rpooled_u = jnp.tile(o2n.get("text_embeds", o2n["pooled"]), (b, 1))
             rtid = jnp.tile(
@@ -545,19 +603,26 @@ class PipelineServer:
                 image_io.to_model_range(image_io.from_model_range(np.asarray(dec[j])))
                 for j in range(b)
             ]))
-            rlat = vae_lib.encode(pipe.params["vae"], dec8, key=enc_keys, cfg=c.vae)
-            rlat = i2i.img2img(
-                pipe.params["refiner"], c.refiner, pipe.schedule, rlat,
-                noise_keys2, rctx, rctx_u, rpooled, rpooled_u, rtid,
-                # diffusers img2img defaults (reference pipeline.py:358):
-                # 50-step grid regardless of the edit's step count,
-                # guidance 5.0, negative aesthetic score 2.5 on uncond
-                num_inference_steps=pipeline_mod.REFINER_NUM_STEPS,
-                strength=refinement,
-                guidance_scale=5.0,
-                time_ids_uncond=rtid_u,
+            rlat = vae_enc(pipe.params["vae"], dec8, enc_keys)
+            rlat = self._jit(
+                ("img2img", refinement),
+                lambda: lambda p, lat, k, ctx, ctx_u, pooled, pooled_u, tid,
+                tid_u: i2i.img2img(
+                    p, c.refiner, pipe.schedule, lat, k, ctx, ctx_u, pooled,
+                    pooled_u, tid,
+                    # diffusers img2img defaults (reference pipeline.py:358):
+                    # 50-step grid regardless of the edit's step count,
+                    # guidance 5.0, negative aesthetic score 2.5 on uncond
+                    num_inference_steps=pipeline_mod.REFINER_NUM_STEPS,
+                    strength=refinement,
+                    guidance_scale=5.0,
+                    time_ids_uncond=tid_u,
+                ),
+            )(
+                pipe.params["refiner"], rlat, noise_keys2, rctx, rctx_u,
+                rpooled, rpooled_u, rtid, rtid_u,
             )
-            dec = vae_lib.decode(pipe.params["vae"], rlat, c.vae)
+            dec = vae_dec(pipe.params["vae"], rlat)
 
         for j, i in enumerate(live):
             results[i] = PipelineResult(

@@ -97,6 +97,45 @@ class RegressionKit:
         return bad
 
 
+class _HashWordTokenizer:
+    """Deterministic word→id tokenizer (crc32, process-independent) for
+    the tiny fallback scorer — no BPE files needed."""
+
+    def __init__(self, vocab_size: int, eos_id: int):
+        self.vocab_size, self.eos_id = vocab_size, eos_id
+
+    def encode(self, text: str):
+        import zlib
+
+        return [
+            1 + zlib.crc32(w.encode()) % (self.vocab_size - 2)
+            for w in text.lower().split()
+        ]
+
+
+def make_tiny_scoring_clip(seed: int = 0):
+    """Deterministic tiny scoring CLIP (VERDICT r3 item 8): seeded tiny
+    towers + a crc32 word tokenizer. Scores from this are a REGRESSION
+    PIN — they guard the metric plumbing and the bench edit's output
+    bytes, not model quality — and become the real-weights comparison
+    slot the day a ViT-H checkpoint lands under ckpts/."""
+    import dataclasses
+
+    import jax
+
+    tcfg = dataclasses.replace(clip_lib.CLIPTextConfig.tiny(), projection_dim=16)
+    vcfg = clip_lib.CLIPVisionConfig.tiny()
+    kt, kv = jax.random.split(jax.random.key(seed))
+    return {
+        "text_params": clip_lib.text_init(kt, tcfg),
+        "text_cfg": tcfg,
+        "tokenizer": _HashWordTokenizer(tcfg.vocab_size, tcfg.eos_token_id),
+        "vision_params": clip_lib.vision_init(kv, vcfg),
+        "vision_cfg": vcfg,
+        "tiny_pin": True,
+    }
+
+
 def load_scoring_clip(ckpt: str = "ckpts"):
     """Best-effort load of a full CLIP (text + vision) from the
     reference checkpoint layout; returns None when either tower is
