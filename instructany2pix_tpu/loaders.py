@@ -142,6 +142,47 @@ def load_pipeline_params_orbax(cfg, root: str) -> Dict[str, Any]:
     return params
 
 
+def staged_params_from_root(
+    cfg, root: str, budget_bytes: float = 12.5e9, pin: tuple = ()
+):
+    """Single-chip warm boot over a converted orbax root: a
+    `StagedParams` store whose factories restore each component group
+    on FIRST ACCESS — the full-size stack (~18 GB with the 7B LLM,
+    ImageBind and the SDXL pile) cannot co-reside on a 16 GB chip, so
+    the eager `load_pipeline_params_orbax` would OOM. Groups evict LRU
+    under `budget_bytes` and re-stage from the host cache (the on-disk
+    artifact is read once per group per process). Multi-chip
+    deployments restore eagerly and shard instead."""
+    from .core.staging import StagedParams
+    from .models import unet_convert
+
+    def plain(name):
+        return lambda: ckpt_lib.restore(os.path.join(root, name))
+
+    def unet_with_ip():
+        ip = ckpt_lib.restore(os.path.join(root, "ip_adapter"))
+        unet = ckpt_lib.restore(os.path.join(root, "unet"))
+        return unet_convert.merge_ip_weights(unet, ip["ip_attn"])
+
+    def image_proj():
+        return ckpt_lib.restore(os.path.join(root, "ip_adapter"))["image_proj"]
+
+    factories = {
+        name: plain(name)
+        for name in (
+            "llm", "prior", "vae", "text1", "text2", "refiner",
+            "prior_text", "imagebind_vision", "imagebind_audio",
+        )
+        if os.path.isdir(os.path.join(root, name))
+    }
+    factories["unet"] = unet_with_ip
+    factories["image_proj"] = image_proj
+    return StagedParams(
+        factories, budget_bytes=budget_bytes,
+        aliases={"inpaint_unet": "unet"}, pin=pin,
+    )
+
+
 def load_pipeline_params(cfg, ckpt: str, llm_folder: str) -> Dict[str, Any]:
     """Assemble the full pipeline param dict from a reference-layout
     checkpoint root. Components whose converters are not yet wired
