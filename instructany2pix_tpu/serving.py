@@ -382,6 +382,82 @@ class PipelineServer:
 
     # ------------------------------------------------------------ stages
 
+    def _batched_mm_embed(self, reqs: List[PipelineRequest]):
+        """ImageBind featurization for the WHOLE microbatch in one
+        dispatch per modality (the per-item loop in embed_mm_data costs
+        a host sync per media file — serving glue, BASELINE.md r4).
+        Returns one renormed (N_i, D) aux matrix per request, matching
+        `pipe.embed_mm_data` exactly."""
+        from . import pipeline as pipeline_mod
+        from .codecs import image_io
+        from .models import imagebind as ib_lib
+
+        pipe = self.pipe
+        c = pipe.cfg
+        slots, vis_px, aud_clips = [], [], []
+        for r in reqs:
+            row = []
+            for item in r.mm_data:
+                if "embed" in item:
+                    row.append(("embed", np.asarray(item["embed"], np.float32)
+                                .reshape(1, -1)))
+                elif item["type"] == "image":
+                    img = image_io.load_image(item["fname"])
+                    vis_px.append(ib_lib.preprocess_vision(
+                        img, c.imagebind_vision.image_size or 224)[0])
+                    row.append(("vis", len(vis_px) - 1))
+                elif item["type"] == "audio":
+                    wav = pipeline_mod._load_wav(item["fname"])
+                    aud_clips.append(ib_lib.preprocess_audio(wav))
+                    row.append(("aud", len(aud_clips) - 1))
+                else:
+                    raise ValueError(item["type"])
+            slots.append(row)
+        vis_out = aud_out = None
+        if vis_px:
+            vfn = self._jit(
+                "ib_vision_b",
+                lambda: lambda p, x: ib_lib.apply(p, x, c.imagebind_vision),
+            )
+            vis_out = vfn(
+                pipe.params["imagebind_vision"], jnp.asarray(np.stack(vis_px))
+            )
+        if aud_clips:
+            nclips = aud_clips[0].shape[0]
+
+            def make_audio(nclips=nclips):
+                # derive the item count from the input shape — a closure
+                # over this call's locals would go stale in the cached jit
+                def fn(p, x):
+                    o = ib_lib.apply(p, x, c.imagebind_audio)
+                    return jnp.mean(o.reshape(-1, nclips, o.shape[-1]), axis=1)
+
+                return fn
+
+            afn = self._jit(("ib_audio_b", nclips), make_audio)
+            aud_out = afn(
+                pipe.params["imagebind_audio"],
+                jnp.asarray(np.concatenate(aud_clips)),
+            )
+        auxes = []
+        for row in slots:
+            embeds = [
+                v.reshape(1, -1) if kind == "embed"
+                else (vis_out[v].reshape(1, -1) if kind == "vis"
+                      else aud_out[v].reshape(1, -1))
+                for kind, v in row
+            ]
+            a = (
+                jnp.concatenate([jnp.asarray(e) for e in embeds], axis=0)
+                if embeds
+                else jnp.zeros((0, c.llm.image_codec_dim))
+            )
+            auxes.append(
+                a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-9)
+                * c.embed_norm
+            )
+        return auxes
+
     def _llm_stage(self, reqs: List[PipelineRequest]):
         """One batched KV-cached generate over left-padded prompts."""
         import jax as _jax
@@ -389,10 +465,9 @@ class PipelineServer:
         from .llm import generate as gen_lib
 
         pipe = self.pipe
-        aux, prepared = [], []
-        for r in reqs:
-            a = pipe.embed_mm_data(r.mm_data)
-            aux.append(a)
+        prepared = []
+        aux = self._batched_mm_embed(reqs)
+        for r, a in zip(reqs, aux):
             prepared.append(pipe._prepare_llm_inputs(r.inst, a))
         lens = [e.shape[1] for _, e in prepared]
         tgt = -(-max(lens) // self.bucket) * self.bucket
@@ -463,18 +538,17 @@ class PipelineServer:
             )[:, 0],
         )(pipe.params["prior"], srcs, th, tm)
 
-        # ---- latents: per-request mix (cheap), batched VAE + inversion
-        imgs, lat_las = [], []
+        # ---- latents: batched VAE + inversion; the conditioning mix,
+        # polar interpolation and IP projection run as ONE vectorized
+        # jit below (per-row dispatch loops cost a tunnel/PCIe sync per
+        # row per op — measured serving glue, BASELINE.md r4)
+        imgs = []
+        base_es, img_es = [], []
         for j, i in enumerate(live):
             image_embeds, base_embed, caption, base_path, _ = llm_outs[i]
             imgs.append(image_io.to_model_range(pipe.load_base_img(base_path)))
-            yi = y[j] / (jnp.linalg.norm(y[j]) + 1e-9)
-            lat_las.append(
-                S.mix_latents(
-                    base_embed.reshape(1, -1), image_embeds.reshape(1, -1),
-                    yi.reshape(1, -1), reqs[i].h, reqs[i].norm,
-                )
-            )
+            base_es.append(np.asarray(base_embed).reshape(-1))
+            img_es.append(np.asarray(image_embeds).reshape(-1))
         x = jnp.asarray(np.stack(imgs))
         import jax as _jax
 
@@ -498,19 +572,46 @@ class PipelineServer:
             jnp.tile(pooled_null, (b, 1)), tid,
         )
         from .core.prng import row_normal
-        noise_keys = jnp.stack([_jax.random.key(reqs[i].seed + 1) for i in live])
-        noise = row_normal(noise_keys, latent_inv.shape)
-        latent_inv = jnp.stack(
-            [
-                S.polar_interpolate(latent_inv[j], noise[j], reqs[i].alpha)
-                for j, i in enumerate(live)
-            ]
-        )
-
-        # ---- denoise stage: ONE batched prompt encode + IP projection,
-        # then the batched CFG scan through BatchedDenoiser
         from .diffusion import ip_adapter as ipa_lib
         from .models import clip as clip_lib
+
+        noise_keys = jnp.stack([_jax.random.key(reqs[i].seed + 1) for i in live])
+
+        def make_mix_polar_ip():
+            def fn(ip_params, lat_inv, nkeys, base, img, y, h, norm, alpha):
+                # mix_latents semantics, vectorized (reference
+                # pipeline.py:322-324): h0·base + h1·llm + h2·20·ŷ,
+                # renormalized per row
+                yn = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-9)
+                la = (
+                    h[:, 0:1] * base + h[:, 1:2] * img + h[:, 2:3] * 20.0 * yn
+                )
+                la = la / (
+                    jnp.linalg.norm(la, axis=-1, keepdims=True) + 1e-9
+                ) * norm[:, None]
+                noise = row_normal(nkeys, lat_inv.shape)
+                lat2 = jax.vmap(S.polar_interpolate)(lat_inv, noise, alpha)
+                ip_c, ip_u = ipa_lib.get_image_embeds(
+                    ip_params, c.image_proj, clip_image_embeds=la, mode="global"
+                )
+                return la, lat2, ip_c, ip_u
+
+            return fn
+
+        lat_las, latent_inv, ip_cond, ip_uncond = self._jit(
+            "mix_polar_ip", make_mix_polar_ip
+        )(
+            pipe.params["image_proj"], latent_inv, noise_keys,
+            jnp.asarray(np.stack(base_es), jnp.float32),
+            jnp.asarray(np.stack(img_es), jnp.float32),
+            y.astype(jnp.float32),
+            jnp.asarray(np.stack([reqs[i].h for i in live]), jnp.float32),
+            jnp.asarray([reqs[i].norm for i in live], jnp.float32),
+            jnp.asarray([reqs[i].alpha for i in live], jnp.float32),
+        )
+
+        # ---- denoise stage: ONE batched prompt encode, then the
+        # batched CFG scan dispatched on-device (no host round-trip)
 
         prompts = ["best quality, high quality" + llm_outs[i][2] for i in live]
         ids1 = np.concatenate([
@@ -530,32 +631,47 @@ class PipelineServer:
             pipe.params["text1"], pipe.params["text2"],
             jnp.asarray(ids1), jnp.asarray(ids2),
         )
-        ip_cond, ip_uncond = ipa_lib.get_image_embeds(
-            pipe.params["image_proj"], c.image_proj,
-            clip_image_embeds=jnp.concatenate(lat_las), mode="global",
+        # device-direct denoise: the arrays are already batched and
+        # device-resident — the former EditRequest round-trip paid a
+        # host sync per field per row (serving glue, BASELINE.md r4).
+        # TP/batch sharding handled exactly like run_batch: params from
+        # the denoiser (TP-sharded in multi-chip mode), batch padded to
+        # the data axis and sharded over it.
+        denoise_fn = self.denoiser._get_fn(
+            steps, reqs[live[0]].cfg, reqs[live[0]].scale
         )
-        edits = [
-            EditRequest(
-                latents=np.asarray(latent_inv[j]),
-                ctx=np.asarray(ctx_p[j]),
-                ctx_uncond=np.asarray(ctx_null[0]),
-                pooled=np.asarray(pooled_p[j]),
-                pooled_uncond=np.asarray(pooled_null[0]),
-                ip_tokens=np.asarray(ip_cond[j]),
-                ip_tokens_uncond=np.asarray(ip_uncond[j]),
-                guidance_scale=reqs[i].cfg,
-                num_inference_steps=steps,
-                ip_scale=reqs[i].scale,
+        n_data = self.mesh.shape[DATA_AXIS]
+        pad = (-b) % n_data
+
+        def pad_rows(a):
+            if pad == 0:
+                return a
+            return jnp.concatenate([a] + [a[-1:]] * pad, axis=0)
+
+        lat_in = pad_rows(latent_inv)
+        if self.mesh.devices.size > 1:
+            lat_in = _jax.device_put(
+                lat_in,
+                _jax.sharding.NamedSharding(
+                    self.mesh, _jax.sharding.PartitionSpec(DATA_AXIS)
+                ),
             )
-            for j, i in enumerate(live)
-        ]
-        lats = self.denoiser.run_batch(edits)
+        with _jax.set_mesh(self.mesh):
+            lats = denoise_fn(
+                self.denoiser._resolve_params(),
+                lat_in, pad_rows(ctx_p),
+                jnp.tile(ctx_null, (b + pad, 1, 1)), pad_rows(pooled_p),
+                jnp.tile(pooled_null, (b + pad, 1)),
+                S.default_time_ids(c.image_size, c.image_size, b + pad),
+                pad_rows(ip_cond), pad_rows(ip_uncond),
+            )
+        lats = lats[:b]
 
         # ---- decode stage: one batched VAE decode
         vae_dec = self._jit(
             "vae_dec", lambda: lambda p, z: vae_lib.decode(p, z, c.vae)
         )
-        dec = vae_dec(pipe.params["vae"], jnp.asarray(np.stack(lats)))
+        dec = vae_dec(pipe.params["vae"], lats)
 
         # ---- refiner stage (batch shares `refinement` via the bucket):
         # one batched img2img through the refiner UNet, per-row keys
@@ -598,11 +714,19 @@ class PipelineServer:
             # Round-trip the decoded image through uint8 before re-encoding,
             # exactly like the single-request pipeline (pipeline.run saves
             # `non_refined` as uint8 then to_model_range's it back) — keeps
-            # same-seed results bit-consistent between the two paths.
-            dec8 = jnp.asarray(np.stack([
-                image_io.to_model_range(image_io.from_model_range(np.asarray(dec[j])))
-                for j in range(b)
-            ]))
+            # same-seed results bit-consistent between the two paths. Done
+            # on-device (same clip→truncate-to-uint8→rescale arithmetic as
+            # image_io.from_model_range/to_model_range) — the former
+            # per-row host loop cost two image transfers per request.
+            dec8 = self._jit(
+                "uint8_roundtrip",
+                # jnp.floor before the cast: numpy's astype(uint8)
+                # truncates, XLA's convert rounds — floor(clip(x,0,255))
+                # equals truncation for the non-negative range
+                lambda: lambda d: jnp.floor(
+                    jnp.clip((d.astype(jnp.float32) + 1.0) * 127.5, 0, 255)
+                ).astype(jnp.float32) / 127.5 - 1.0,
+            )(dec)
             rlat = vae_enc(pipe.params["vae"], dec8, enc_keys)
             rlat = self._jit(
                 ("img2img", refinement),
