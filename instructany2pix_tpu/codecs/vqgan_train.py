@@ -120,6 +120,91 @@ def vqgan_generator_loss(
     return loss, aux
 
 
+def vqgan_nodisc_loss(
+    vq_params,
+    x,
+    vq_cfg: vqgan.VQConfig,
+    perceptual_fn: Optional[Callable] = None,
+    codebook_weight: float = 1.0,
+    perceptual_weight: float = 1.0,
+):
+    """Discriminator-free VQ training objective (reference
+    audio_vqvae.py:285 `VQNoDiscModel`): L1 recon + optional perceptual
+    + codebook/commit under ONE optimizer — the reference's Adam
+    betas=(0.5, 0.9) over encoder/decoder/quantize/quant-convs with no
+    GAN branch at all. Functionally the generator loss above with the
+    adversarial term removed; kept as its own entry point because the
+    two-optimizer GAN rig and the single-optimizer no-disc rig are
+    distinct training recipes in the reference. Returns (loss, aux)."""
+    total, aux = vqgan.vq_losses(vq_params, x, vq_cfg, beta=0.25)
+    loss = aux["rec_loss"] + codebook_weight * (
+        aux["codebook_loss"] + 0.25 * aux["commit_loss"]
+    )
+    if perceptual_fn is not None:
+        pl_ = jnp.mean(
+            jnp.abs(perceptual_fn(x) - perceptual_fn(aux["recon"]))
+        )
+        loss = loss + perceptual_weight * pl_
+        aux["perceptual_loss"] = pl_
+    return loss, aux
+
+
+def vq_segmentation_loss(
+    vq_params,
+    x_onehot,
+    vq_cfg: vqgan.VQConfig,
+    codebook_weight: float = 1.0,
+):
+    """Segmentation-map VQ objective (reference audio_vqvae.py:233
+    `VQSegmentationModel` + taming's BCELossWithQuant): the codec
+    autoencodes an (B, H, W, n_labels) one-hot label map, the decoder
+    output is read as per-label logits, and the reconstruction term is
+    sigmoid BCE against the one-hot targets plus the weighted
+    codebook/commit quantization loss. Single optimizer, no
+    discriminator. Returns (loss, aux) with `logits` in aux."""
+    z = vqgan.encode_z(vq_params, x_onehot, vq_cfg)
+    zq, idx, (cb_loss, commit) = vqgan.quantize(vq_params, z)
+    logits = vqgan.decode_z(vq_params, zq, vq_cfg)
+    # mean sigmoid-BCE with logits, numerically fused:
+    # max(l,0) - l*t + log(1+exp(-|l|))
+    bce = jnp.mean(
+        jnp.maximum(logits, 0.0)
+        - logits * x_onehot
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    qloss = cb_loss + 0.25 * commit
+    loss = bce + codebook_weight * qloss
+    return loss, {
+        "bce_loss": bce,
+        "codebook_loss": cb_loss,
+        "commit_loss": commit,
+        "logits": logits,
+        "indices": idx,
+    }
+
+
+def colorize_init(key, n_labels: int):
+    """Random label→RGB projection, the `colorize` buffer the reference
+    registers for segmentation previews (audio_vqvae.py:236)."""
+    return jax.random.normal(key, (n_labels, 3))
+
+
+def segmentation_to_rgb(colorize, x_onehot, from_logits: bool = False):
+    """Reference VQModel.to_rgb for n_labels>3 inputs: project the
+    one-hot (or argmax-of-logits, `log_images` audio_vqvae.py:272-276)
+    label planes through the random colorize matrix and min-max
+    normalize to [-1, 1]."""
+    if from_logits:
+        n = x_onehot.shape[-1]
+        x_onehot = jax.nn.one_hot(
+            jnp.argmax(x_onehot, axis=-1), n, dtype=x_onehot.dtype
+        )
+    rgb = jnp.einsum("bhwl,lc->bhwc", x_onehot, colorize.astype(x_onehot.dtype))
+    lo = jnp.min(rgb, axis=(1, 2, 3), keepdims=True)
+    hi = jnp.max(rgb, axis=(1, 2, 3), keepdims=True)
+    return 2.0 * (rgb - lo) / jnp.maximum(hi - lo, 1e-6) - 1.0
+
+
 def vqgan_discriminator_loss(
     disc_params,
     vq_params,

@@ -193,6 +193,66 @@ class TestVQGANAdversarial:
         )
         assert "perceptual_loss" in aux
 
+    def test_nodisc_loss(self, rng):
+        # reference audio_vqvae.py:285 VQNoDiscModel — single-optimizer
+        # objective with no discriminator branch
+        from instructany2pix_tpu.codecs import vqgan_train as vt
+        from instructany2pix_tpu.codecs import vqgan
+        import jax.numpy as jnp
+
+        vq_cfg = vqgan.VQConfig.tiny()
+        vq_params = vqgan.init(jax.random.key(0), vq_cfg)
+        x = jax.random.normal(jax.random.key(2), (2, 16, 16, 3))
+        loss, aux = vt.vqgan_nodisc_loss(vq_params, x, vq_cfg)
+        assert np.isfinite(float(loss))
+        assert "g_loss" not in aux and "adv_weight" not in aux
+        g = jax.grad(lambda p: vt.vqgan_nodisc_loss(p, x, vq_cfg)[0])(vq_params)
+        assert max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g)) > 0
+        loss_p, aux_p = vt.vqgan_nodisc_loss(
+            vq_params, x, vq_cfg, perceptual_fn=lambda im: im.mean(axis=-1)
+        )
+        assert "perceptual_loss" in aux_p and float(loss_p) >= float(loss)
+
+    def test_segmentation_loss_and_colorize(self, rng):
+        # reference audio_vqvae.py:233 VQSegmentationModel — BCE-with-
+        # logits over one-hot label planes + weighted quantization loss
+        from instructany2pix_tpu.codecs import vqgan_train as vt
+        from instructany2pix_tpu.codecs import vqgan
+        import jax.numpy as jnp
+
+        n_labels = 8
+        vq_cfg = vqgan.VQConfig.tiny(in_channels=n_labels)
+        vq_params = vqgan.init(jax.random.key(0), vq_cfg)
+        labels = jax.random.randint(jax.random.key(1), (2, 16, 16), 0, n_labels)
+        x = jax.nn.one_hot(labels, n_labels)
+        loss, aux = vt.vq_segmentation_loss(vq_params, x, vq_cfg)
+        assert np.isfinite(float(loss))
+        assert aux["logits"].shape == x.shape
+        # the fused BCE matches the naive sigmoid cross-entropy
+        p = jax.nn.sigmoid(aux["logits"])
+        naive = -jnp.mean(
+            x * jnp.log(p + 1e-12) + (1 - x) * jnp.log(1 - p + 1e-12)
+        )
+        q = aux["codebook_loss"] + 0.25 * aux["commit_loss"]
+        np.testing.assert_allclose(
+            float(aux["bce_loss"]), float(naive), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(loss), float(aux["bce_loss"] + q), rtol=1e-6
+        )
+        g = jax.grad(lambda pp: vt.vq_segmentation_loss(pp, x, vq_cfg)[0])(
+            vq_params
+        )
+        assert max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g)) > 0
+
+        colorize = vt.colorize_init(jax.random.key(3), n_labels)
+        rgb = vt.segmentation_to_rgb(colorize, x)
+        assert rgb.shape == (2, 16, 16, 3)
+        assert float(rgb.min()) >= -1.0 - 1e-5 and float(rgb.max()) <= 1.0 + 1e-5
+        # logits path argmaxes to one-hot before projecting
+        rgb_l = vt.segmentation_to_rgb(colorize, aux["logits"], from_logits=True)
+        assert rgb_l.shape == (2, 16, 16, 3)
+
 
 def test_vqgan_taming_torch_golden_parity(rng):
     """Full taming-VQModel golden parity: torch Encoder/Decoder/
