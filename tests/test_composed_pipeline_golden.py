@@ -718,3 +718,146 @@ def test_stage_b_composed_edit_matches_torch(tree, pipe, media):
     assert diff_oo.max() <= 4 and diff_oo.mean() < 0.8, (
         diff_oo.max(), diff_oo.mean()
     )
+
+
+def t_image_proj_local(ip_sd, pcfg, local_embeds):
+    """ImageProjModel 2-view LOCAL mode (reference ip_adapter.py:53-61,
+    gdino/lib.py drives the inpaint with `mode='local'`): the missing
+    global view zero-fills, scales (1,1) leave the local tokens
+    unblended, raw_embed[1] offsets them."""
+    def apply(stacked):
+        b = stacked.shape[0]
+        tok = F.linear(
+            stacked, ip_sd["image_proj.proj.weight"], ip_sd["image_proj.proj.bias"]
+        ).view(b, pcfg.num_crops, pcfg.num_tokens, pcfg.cross_attention_dim)
+        loc = tok[:, 1:] + ip_sd["image_proj.raw_embed"][1].view(1, 1, 1, -1)
+        loc = loc.reshape(b, -1, pcfg.cross_attention_dim)
+        return F.layer_norm(
+            loc, (pcfg.cross_attention_dim,),
+            ip_sd["image_proj.norm.weight"], ip_sd["image_proj.norm.bias"],
+        )
+
+    e = torch.tensor(local_embeds).float()
+    stacked = torch.stack([torch.zeros_like(e), e], dim=1)
+    return apply(stacked), apply(torch.zeros_like(stacked))
+
+
+def test_stage_c_subject_inpaint_matches_torch(tree, pipe, media):
+    """The subject-consistency branch's diffusion core (reference
+    gdino/lib.py:85-102): `pipe._make_inpaint_fn` — VAE encodes, local-
+    mode IP tokens, 50-step-grid strength-truncated CFG inpaint on the
+    SHARED base 4-channel UNet with the diffusers keep-region reset
+    (reference pipeline.py:132-139 builds the inpaint pipe from base
+    components) — vs the same composition in torch. GDINO/SAM box→mask
+    production has its own layer goldens (test_gdino_parity,
+    test_sam_parity); here the mask is a shared input."""
+    import os
+
+    root, cfg = tree
+    strength = 0.3  # 15 steps of the pinned 50-step grid
+    size = cfg.image_size
+    dcodec = cfg.llm.image_codec_dim
+
+    # the JAX pipeline shares the base UNet for inpainting (4-channel
+    # live path, pinned at tree load) — this test is written against that
+    assert pipe.cfg.inpaint_unet.in_channels == 4
+
+    rs = np.random.RandomState(21)
+    sub_embed = rs.randn(dcodec).astype(np.float32)
+    prompt = "a toy robot"
+    img = image_io.resize_and_crop(media[0]["fname"], size)
+    mask = np.zeros((size, size), np.float32)
+    mask[size // 4: 3 * size // 4, size // 8: 5 * size // 8] = 1.0
+
+    kc = KeyChain(jax.random.key(123))
+    inp_fn = pipe._make_inpaint_fn(kc, 4, strength)
+    out_jax = inp_fn(img, mask, sub_embed, prompt)
+
+    # -------- torch mirror, same key draw order as inpaint_fn
+    kc2 = KeyChain(jax.random.key(123))
+    k_enc1, k_enc2, k_noise = kc2(), kc2(), kc2()
+
+    sd_vae = _load_sd(
+        os.path.join(root, "sdxl-base", "vae", "diffusion_pytorch_model.bin")
+    )
+    sd_unet = _load_sd(
+        os.path.join(root, "sdxl-base", "unet", "diffusion_pytorch_model.bin")
+    )
+    ip_sd = _load_sd(
+        os.path.join(root, "sdxl", "ip_adapter_global_local_2_view.bin")
+    )
+    ip_map = build_ip_map(ip_sd, cfg.unet)
+
+    def t_vae_sample(x_nhwc, key):
+        mean, logvar = t_vae_encode_moments(sd_vae, cfg.vae, nchw(x_nhwc))
+        n = np.asarray(row_normal(key, tuple(mean.permute(0, 2, 3, 1).shape)))
+        z = mean + torch.exp(0.5 * logvar) * nchw(n)
+        return z * cfg.vae.scaling_factor
+
+    x = image_io.to_model_range(img)[None]
+    src_lat = t_vae_sample(x, k_enc1)
+    t_vae_sample(x * (1.0 - mask[None, :, :, None]), k_enc2)  # draw parity
+
+    hf1 = _hf_clip_text(os.path.join(root, "sdxl-base", "text_encoder"), cfg.text1)
+    hf2 = _hf_clip_text(
+        os.path.join(root, "sdxl-base", "text_encoder_2"), cfg.text2
+    )
+
+    def sdxl_ids(p):
+        i1 = pipe._clip_ids(
+            pipe.clip_tok1, p, cfg.text1.max_positions, cfg.text1.eos_token_id
+        )
+        i2 = pipe._clip_ids(
+            pipe.clip_tok2, p, cfg.text2.max_positions, cfg.text2.eos_token_id
+        )
+        return i1, i2
+
+    ctx_p, pooled_p = t_encode_sdxl(hf1, hf2, *sdxl_ids(prompt))
+    ctx_n, pooled_n = t_encode_sdxl(hf1, hf2, *sdxl_ids(""))
+    ip_cond, ip_uncond = t_image_proj_local(
+        ip_sd, cfg.image_proj, sub_embed.reshape(1, -1)
+    )
+
+    sched = TSched()
+    ts_all = sched.timesteps(50)
+    init_t = min(int(50 * strength), 50)
+    ts_r = ts_all[max(50 - init_t, 0):]
+
+    src32 = nhwc(src_lat).astype(np.float32)
+    noise = np.asarray(row_normal(k_noise, src32.shape), np.float32)
+    lat = torch.tensor(sched.add_noise(src32, noise, int(ts_r[0]))).permute(
+        0, 3, 1, 2
+    )
+    # nearest-downsampled latent mask — the block mask is 8-aligned so
+    # any nearest convention lands the same planes
+    mlat = mask[:: size // src_lat.shape[-1], :: size // src_lat.shape[-1]]
+    mlat = mlat[None, :, :, None]
+
+    ctx2 = torch.cat([ctx_n, ctx_p], dim=0)
+    pooled2 = torch.cat([pooled_n, pooled_p], dim=0)
+    ip2 = torch.cat([ip_uncond, ip_cond], dim=0)
+    tid = torch.tensor([[size, size, 0, 0, size, size]], dtype=torch.float32)
+    tid2 = tid.repeat(2, 1)
+    gs = 7.5
+    for i, t in enumerate(ts_r):
+        t_prev = int(ts_r[i + 1]) if i + 1 < len(ts_r) else -1
+        eps = t_unet_ip_forward(
+            sd_unet, cfg.unet, lat.repeat(2, 1, 1, 1),
+            torch.tensor([int(t), int(t)]), ctx2, pooled2, tid2, ip2, ip_map,
+            0.8,
+        )
+        eps_u, eps_c = eps.chunk(2, dim=0)
+        eps_m = (eps_u + gs * (eps_c - eps_u)).numpy()
+        nxt = sched.ddim_step(eps_m, int(t), t_prev, lat.numpy())
+        init_proper = (
+            sched.add_noise(src32, noise, max(t_prev, 0)).transpose(0, 3, 1, 2)
+            if t_prev >= 0
+            else src32.transpose(0, 3, 1, 2)
+        )
+        m = mlat.transpose(0, 3, 1, 2)
+        lat = torch.tensor((1.0 - m) * init_proper + m * nxt).float()
+
+    img_t = t_vae_decode(sd_vae, cfg.vae, lat)
+    out_t = image_io.from_model_range(nhwc(img_t)[0])
+    diff = np.abs(out_t.astype(np.int32) - np.asarray(out_jax, np.int32))
+    assert diff.max() <= 4 and diff.mean() < 0.8, (diff.max(), diff.mean())
