@@ -155,14 +155,20 @@ def main():
     # ---- glue: the per-layer XLA chain with fake linears ----------------
     real_linear = L.linear
 
-    def fake_linear(p, x, compute_dtype=None):
+    def fake_linear(p, x, compute_dtype=None, norm=None, swiglu=False,
+                    residual=None):
+        # the fused kwargs (norm/swiglu/residual) ride the REAL kernels
+        # now, so the fake drops them from the glue graph too — glue
+        # measures only what XLA still runs between kernels; residual
+        # keeps its data dep so the adds stay in the graph
         if "w" in p:
             out_dim = p["w"].shape[-1]
         else:
             # quantized dict: scales carry the out dim on their last axis
             out_dim = p.get("scale", p.get("gscale")).shape[-1]
         s = jnp.sum(x, axis=-1, keepdims=True)  # keeps the data dep
-        return jnp.broadcast_to(s, x.shape[:-1] + (out_dim,)) * 1e-7
+        y = jnp.broadcast_to(s, x.shape[:-1] + (out_dim,)) * 1e-7
+        return y + residual if residual is not None else y
 
     def glue_loop(n, x, ck, cv, clen, params):
         def body(i, carry):

@@ -56,7 +56,14 @@ def _use_pallas_qmv(p, x) -> bool:
     return m <= 16 and w.shape[1] % 128 == 0 and jax.default_backend() == "tpu"
 
 
-def linear(p, x, compute_dtype=None):
+def linear(p, x, compute_dtype=None, norm=None, swiglu=False, residual=None):
+    """`norm=(g, eps)`, `swiglu`, `residual` fuse decode glue into the
+    Pallas qmv kernel when that path is taken (ops/quant.py — RMSNorm
+    prologue, silu(gate)·up pairing, residual epilogue); every other
+    path composes the same ops explicitly, so callers can pass them
+    unconditionally (prefill/CPU/float weights keep identical
+    semantics)."""
+    fused = norm is not None or swiglu or residual is not None
     if "w_q" in p or "w_q4" in p:
         # weight-only quantization (ops/quant.py): the int8/int4 kernel
         # is read from HBM and dequantized in-registers/VMEM, so decode
@@ -65,6 +72,22 @@ def linear(p, x, compute_dtype=None):
         # (reference pipeline.py:30). Per-output-channel scales.
         if compute_dtype is not None:
             x = x.astype(compute_dtype)
+        # LoRA factors must see the transformed activation, which the
+        # kernel keeps in VMEM — compose the prologue on the host path
+        # instead of fusing when adapters are attached
+        if fused and _use_pallas_qmv(p, x) and "lora_a" not in p:
+            from ..ops.quant import pallas_qmatmul
+
+            return pallas_qmatmul(
+                x, p,
+                norm_g=norm[0] if norm is not None else None,
+                norm_eps=norm[1] if norm is not None else 1e-6,
+                swiglu=swiglu, residual=residual,
+            ) + (p["b"].astype(x.dtype) if "b" in p else 0)
+        if fused:
+            x = _fused_prologue(x, norm, swiglu)
+            y = linear(p, x)
+            return y + residual if residual is not None else y
         if _use_pallas_qmv(p, x):
             from ..ops.quant import pallas_qmatmul
 
@@ -83,6 +106,10 @@ def linear(p, x, compute_dtype=None):
         if "b" in p:
             y = y + p["b"].astype(y.dtype)
         return y
+    if fused:
+        x = _fused_prologue(x, norm, swiglu)
+        y = linear(p, x, compute_dtype=compute_dtype)
+        return y + residual if residual is not None else y
     w = p["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -97,6 +124,17 @@ def linear(p, x, compute_dtype=None):
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y
+
+
+def _fused_prologue(x, norm, swiglu):
+    """Composed (non-kernel) form of the linear-fusion prologue — the
+    op order mirrors `ops.quant._qmv_kernel` so both paths agree."""
+    if norm is not None:
+        x = rms_norm({"g": norm[0]}, x, norm[1])
+    if swiglu:
+        k = x.shape[-1] // 2
+        x = silu(x[..., :k]) * x[..., k:]
+    return x
 
 
 def add_lora(p, key, rank: int = 8, alpha: float = 16.0):

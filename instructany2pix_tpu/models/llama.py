@@ -89,20 +89,29 @@ class KVCache(NamedTuple):
         )
 
 
-def _rope(x, positions, theta):
-    """Rotary embedding, HF convention (half-split rotate)."""
-    b, s, h, d = x.shape
-    half = d // 2
+def _rope_tables(positions, half, theta):
+    """cos/sin tables for `_rope_apply`, (B, S, 1, half) — computed once
+    per forward and shared by every layer's q and k (was recomputed 64×
+    per decode step)."""
     freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
     angles = positions.astype(jnp.float32)[..., None] * freqs  # (B,S,half)
-    cos = jnp.cos(angles)[:, :, None, :]
-    sin = jnp.sin(angles)[:, :, None, :]
+    return jnp.cos(angles)[:, :, None, :], jnp.sin(angles)[:, :, None, :]
+
+
+def _rope_apply(x, cos, sin):
+    half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
     xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
     out = jnp.concatenate(
         [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
     )
     return out.astype(x.dtype)
+
+
+def _rope(x, positions, theta):
+    """Rotary embedding, HF convention (half-split rotate)."""
+    cos, sin = _rope_tables(positions, x.shape[-1] // 2, theta)
+    return _rope_apply(x, cos, sin)
 
 
 def init(key, cfg: LlamaConfig = LlamaConfig.tiny()):
@@ -196,59 +205,76 @@ def fuse_projections(params):
 
 
 def _block(p, x, positions, cfg, mask, cache_kv=None, cache_len=None,
-           prefix_pad=None):
+           prefix_pad=None, rope_cs=None):
     """One decoder layer. Returns (x, (k_new, v_new)) where k_new/v_new
-    are this call's keys/values (for cache update)."""
+    are this call's keys/values (for cache update).
+
+    Decode-glue fusion (BASELINE.md r4 decode-attribution row — 0.7 ms
+    of a 6 ms step was XLA between the matvec kernels): both RMSNorms
+    ride the following quantized matvec as a kernel prologue, the
+    silu(gate)·up pairing and the MLP residual ride the down-proj, and
+    rope cos/sin plus the decode mask arrive precomputed from `forward`
+    (`rope_cs` / `mask`) instead of being rebuilt per layer. The same
+    `L.linear` kwargs compose identical unfused ops on float/prefill/CPU
+    paths, so this is one code path for all of them."""
     b, s, d = x.shape
     hd = cfg.head_dim
-    h = L.rms_norm(p["input_norm"], x, cfg.rms_eps)
+    in_norm = (p["input_norm"]["g"], cfg.rms_eps)
     if "qkv" in p:
-        qkv = L.linear(p["qkv"], h)
+        qkv = L.linear(p["qkv"], x, norm=in_norm)
         nq, nkv = cfg.num_heads * hd, cfg.num_kv_heads * hd
         q = qkv[..., :nq].reshape(b, s, cfg.num_heads, hd)
         k = qkv[..., nq:nq + nkv].reshape(b, s, cfg.num_kv_heads, hd)
         v = qkv[..., nq + nkv:].reshape(b, s, cfg.num_kv_heads, hd)
     else:
+        h = L.rms_norm(p["input_norm"], x, cfg.rms_eps)
         q = L.linear(p["q"], h).reshape(b, s, cfg.num_heads, hd)
         k = L.linear(p["k"], h).reshape(b, s, cfg.num_kv_heads, hd)
         v = L.linear(p["v"], h).reshape(b, s, cfg.num_kv_heads, hd)
-    q = _rope(q, positions, cfg.rope_theta)
-    k = _rope(k, positions, cfg.rope_theta)
+    if rope_cs is None:
+        rope_cs = _rope_tables(positions, hd // 2, cfg.rope_theta)
+    q = _rope_apply(q, *rope_cs)
+    k = _rope_apply(k, *rope_cs)
 
     if cache_kv is not None:
         ck, cv = cache_kv
         ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_len, axis=1)
         cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_len, axis=1)
-        # explicit absolute-position causal mask: query row i (absolute
-        # position cache_len+i) sees keys 0..cache_len+i; padded tail
-        # slots beyond cache_len+s stay masked. End-aligned `causal=True`
-        # would mis-align against the padded buffer.
-        max_len = ck.shape[1]
-        row = cache_len + jnp.arange(s)[:, None]
-        col = jnp.arange(max_len)[None, :]
-        valid = jnp.broadcast_to((col <= row)[None], (b, s, max_len))
-        if prefix_pad is not None:
-            # left-padded prompt: pad slots [0, prefix_pad) never attend;
-            # scalar (uniform) or (B,) per-row pad counts both broadcast
-            pp = jnp.asarray(prefix_pad).reshape(-1, 1, 1)
-            valid = valid & (col[None] >= pp)
-        attn_mask = valid
+        if mask is None:
+            mask = _decode_mask(b, s, ck.shape[1], cache_len, prefix_pad)
         o = dot_product_attention(
-            q, ck.astype(q.dtype), cv.astype(q.dtype), mask=attn_mask, impl="xla"
+            q, ck.astype(q.dtype), cv.astype(q.dtype), mask=mask, impl="xla"
         )
         new_kv = (ck, cv)
     else:
         o = dot_product_attention(q, k, v, mask=mask, causal=True)
         new_kv = (k, v)
     x = x + L.linear(p["o"], o.reshape(b, s, cfg.num_heads * hd))
-    h = L.rms_norm(p["post_norm"], x, cfg.rms_eps)
+    post_norm = (p["post_norm"]["g"], cfg.rms_eps)
     if "gate_up" in p:
-        gu = L.linear(p["gate_up"], h)
-        g, u = jnp.split(gu, 2, axis=-1)
-        x = x + L.linear(p["down"], L.silu(g) * u)
+        gu = L.linear(p["gate_up"], x, norm=post_norm)
+        x = L.linear(p["down"], gu, swiglu=True, residual=x)
     else:
+        h = L.rms_norm(p["post_norm"], x, cfg.rms_eps)
         x = x + L.linear(p["down"], L.silu(L.linear(p["gate"], h)) * L.linear(p["up"], h))
     return x, new_kv
+
+
+def _decode_mask(b, s, max_len, cache_len, prefix_pad=None):
+    """Absolute-position causal mask against the padded KV buffer:
+    query row i (absolute position cache_len+i) sees keys
+    0..cache_len+i; padded tail slots beyond cache_len+s stay masked.
+    End-aligned `causal=True` would mis-align against the padded
+    buffer. Built once per forward (identical for every layer)."""
+    row = cache_len + jnp.arange(s)[:, None]
+    col = jnp.arange(max_len)[None, :]
+    valid = jnp.broadcast_to((col <= row)[None], (b, s, max_len))
+    if prefix_pad is not None:
+        # left-padded prompt: pad slots [0, prefix_pad) never attend;
+        # scalar (uniform) or (B,) per-row pad counts both broadcast
+        pp = jnp.asarray(prefix_pad).reshape(-1, 1, 1)
+        valid = valid & (col[None] >= pp)
+    return valid
 
 
 def forward(
@@ -287,6 +313,13 @@ def forward(
             )
         positions = jnp.broadcast_to(positions, (b, s))
 
+    # per-layer-invariant decode state, built once (was per layer):
+    rope_cs = _rope_tables(positions, cfg.head_dim // 2, cfg.rope_theta)
+    decode_mask = (
+        _decode_mask(b, s, cache.k.shape[2], cache.length, prefix_pad)
+        if cache is not None else None
+    )
+
     if cache is None and "layers" in params:
         # stacked scan-over-layers (stack_layers): one compiled block
         policy = (
@@ -296,7 +329,9 @@ def forward(
         )
 
         def body(x, lp):
-            fn = lambda p, h: _block(p, h, positions, cfg, attention_mask)[0]
+            fn = lambda p, h: _block(
+                p, h, positions, cfg, attention_mask, rope_cs=rope_cs
+            )[0]
             if cfg.remat:
                 fn = jax.checkpoint(fn, policy=policy)
             return fn(lp, x), None
@@ -318,10 +353,11 @@ def forward(
                 x,
                 positions,
                 cfg,
-                None,
+                decode_mask,
                 cache_kv=(cache.k[i], cache.v[i]),
                 cache_len=cache.length,
                 prefix_pad=prefix_pad,
+                rope_cs=rope_cs,
             )
             new_k.append(ck)
             new_v.append(cv)
@@ -333,11 +369,16 @@ def forward(
                     else jax.checkpoint_policies.nothing_saveable
                 )
                 x, _ = jax.checkpoint(
-                    lambda p, x: _block(p, x, positions, cfg, attention_mask),
+                    lambda p, x: _block(
+                        p, x, positions, cfg, attention_mask, rope_cs=rope_cs
+                    ),
                     policy=policy,
                 )(params[f"layer_{i}"], x)
             else:
-                x, _ = _block(params[f"layer_{i}"], x, positions, cfg, attention_mask)
+                x, _ = _block(
+                    params[f"layer_{i}"], x, positions, cfg, attention_mask,
+                    rope_cs=rope_cs,
+                )
     hidden = x
     hidden_norm = L.rms_norm(params["final_norm"], x, cfg.rms_eps)
     if cfg.tie_embeddings:

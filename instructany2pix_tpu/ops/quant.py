@@ -240,8 +240,10 @@ def quantize_llama(params, bits: int = 8, free_originals: bool = False,
 # ------------------------------------------------- Pallas decode kernel
 
 
-def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False,
-                interpret: bool = False, variant: str = "chain"):
+def _qmv_kernel(*refs, bits: int, grouped: bool = False,
+                interpret: bool = False, variant: str = "chain",
+                norm_eps: float = 0.0, has_norm: bool = False,
+                swiglu: bool = False, has_residual: bool = False):
     """One output tile of x @ dequant(W): x (M, K) resident, W block
     (K, bn) int8 (or (K/2, bn) packed int4) dequantized in VMEM — the
     bf16 kernel never exists in HBM, so decode reads bits/8 bytes per
@@ -254,7 +256,28 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False,
     packing (`_pack_nibbles`) the rows land in original order, so the
     whole unpack is one native int4→float convert (the r2/r3 shift+
     mask+concat chain was the VPU work that kept decode off the HBM
-    floor); interpret mode (CPU tests) keeps the shift-unpack."""
+    floor); interpret mode (CPU tests) keeps the shift-unpack.
+
+    Glue fusion (r4, decode-attribution payoff — BASELINE.md r4
+    decode-step row: 0.696 ms/step of XLA glue between the kernels):
+      has_norm     RMSNorm prologue — normalize x rows in f32, scale by
+                   the g vector, round-trip through the activation dtype
+                   (bit-parity with `layers.rms_norm` → matvec)
+      swiglu       x arrives as the gate_up pair (M, 2K); the effective
+                   activation silu(x[:, :K]) * x[:, K:] is built in VMEM
+                   (the down-proj's input never exists in HBM)
+      has_residual residual epilogue — add the blocked residual AFTER
+                   casting the accumulator to the output dtype
+                   (bit-parity with the unfused bf16 `x + delta`)
+    The prologue work repeats per grid step (a few K elements of VPU
+    math under a multi-MB weight DMA) — measured free."""
+    refs = list(refs)
+    x_ref = refs.pop(0)
+    w_ref = refs.pop(0)
+    s_ref = refs.pop(0)
+    g_ref = refs.pop(0) if has_norm else None
+    r_ref = refs.pop(0) if has_residual else None
+    (o_ref,) = refs
     w = w_ref[:]
     if bits == 4:
         if interpret:
@@ -264,6 +287,30 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False,
 
             w = pltpu.bitcast(w, jnp.int4)  # (K, bn), original row order
     x = x_ref[:]
+    act_dtype = x.dtype
+    if has_norm:
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xn = xf * jax.lax.rsqrt(var + norm_eps) * g_ref[:].astype(jnp.float32)
+        x = xn.astype(act_dtype)
+    if swiglu:
+        kk = x.shape[-1] // 2
+        g_half, u_half = x[:, :kk], x[:, kk:]
+        x = (jax.nn.silu(g_half.astype(jnp.float32)).astype(act_dtype)
+             * u_half)
+    if bits == 4 and x.dtype != jnp.float32:
+        # f32 activations are faster for the int4 kernel (see
+        # pallas_qmatmul); plain calls cast at the host boundary, fused
+        # calls keep the original dtype through the prologue for parity
+        # with the unfused op order and cast here
+        x = x.astype(jnp.float32)
+
+    def _store(acc):
+        y = acc.astype(o_ref.dtype)
+        if has_residual:
+            y = y + r_ref[:].astype(o_ref.dtype)
+        o_ref[:] = y
+
     if grouped:
         # blockwise scales (G, bn): one partial dot per scale group,
         # scaled into the f32 accumulator. Beats scaling the whole
@@ -285,7 +332,7 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False,
             acc = jnp.dot(
                 x, ws.reshape(w.shape[0], -1), preferred_element_type=jnp.float32
             )
-            o_ref[:] = acc.astype(o_ref.dtype)
+            _store(acc)
             return
         if variant == "batched":
             # A/B variant (IA2P_QMV_GROUPED=batched): ONE G-batched
@@ -300,7 +347,7 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False,
                 preferred_element_type=jnp.float32,
             )  # (G, M, bn)
             acc = jnp.sum(part * s_ref[:][:, None, :].astype(jnp.float32), axis=0)
-            o_ref[:] = acc.astype(o_ref.dtype)
+            _store(acc)
             return
         acc = jnp.zeros((x.shape[0], o_ref.shape[1]), jnp.float32)
         for g in range(g_count):
@@ -310,18 +357,25 @@ def _qmv_kernel(x_ref, w_ref, s_ref, o_ref, *, bits: int, grouped: bool = False,
                 preferred_element_type=jnp.float32,
             )
             acc = acc + part * s_ref[g][None]
-        o_ref[:] = acc.astype(o_ref.dtype)
+        _store(acc)
     else:
         acc = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
-        o_ref[:] = (acc * s_ref[0][None].astype(jnp.float32)).astype(o_ref.dtype)
+        _store(acc * s_ref[0][None].astype(jnp.float32))
 
 
 def pallas_qmatmul(
-    x: jax.Array, q: dict, block_n: int = 1024, interpret: Optional[bool] = None
+    x: jax.Array, q: dict, block_n: int = 1024, interpret: Optional[bool] = None,
+    norm_g: Optional[jax.Array] = None, norm_eps: float = 1e-6,
+    swiglu: bool = False, residual: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Small-M (decode) quantized matmul via Pallas. x: (..., K);
     q: {"w_q": (K, N) int8} or {"w_q4": (K/2, N) int8}, with "scale"
     (N,) per-channel or "gscale" (K/group, N) blockwise (int4 only).
+
+    Optional decode-glue fusion (see `_qmv_kernel`): `norm_g` folds an
+    RMSNorm over x into the kernel prologue; `swiglu` treats x as the
+    concatenated (…, 2K) gate_up pair and builds silu(gate)·up in VMEM;
+    `residual` (…, N) is added to the output in the epilogue.
 
     Block-width tuning (r3, v5e, 4096×11008 matvec in-loop): per-grid-
     step overhead is ≈0.3 µs, so wider N blocks win — 93.8 µs at
@@ -343,13 +397,15 @@ def pallas_qmatmul(
     w = q["w_q4"] if bits == 4 else q["w_q"]
     n = w.shape[1]
     lead = x.shape[:-1]
-    k = x.shape[-1]
+    xk = x.shape[-1]           # width of the activation operand
+    k = (2 * w.shape[0]) if bits == 4 else w.shape[0]  # contraction dim
+    assert xk == (2 * k if swiglu else k), (xk, k, swiglu)
     m = 1
     for s in lead:
         m *= s
-    x2 = x.reshape(m, k)
-    out_dtype = x2.dtype
-    if bits == 4:
+    x2 = x.reshape(m, xk)
+    fused_prologue = (norm_g is not None) or swiglu
+    if bits == 4 and not fused_prologue:
         # f32 activations make the int4 kernel faster, not slower (r3
         # A/B, weights-as-args + host-readback sync): the i32→f32
         # dequant convert is a single VPU op where i32→bf16 round-trips
@@ -358,6 +414,9 @@ def pallas_qmatmul(
         # 83.6/48.6/127.5/79.1 µs bf16-x → 69.3/43.2/111.0/68.0 f32-x
         # (−14 %, closing to within 2 % of per-channel); per-channel
         # −1 %. M≤16 rows keep the extra x bytes negligible.
+        # Fused prologues keep the original dtype through the in-kernel
+        # norm/silu (op-order parity with the unfused path) and cast in
+        # the kernel instead.
         x2 = x2.astype(jnp.float32)
 
     variant = _QMV_GROUPED_VARIANT
@@ -379,19 +438,29 @@ def pallas_qmatmul(
         # scale as (1, N): 1-D operands hit XLA/Mosaic tiling-layout
         # mismatches (T(1024) vs T(bn))
         scales = q["scale"].reshape(1, -1).astype(jnp.float32)
+    operands = [x2, w, scales]
+    in_specs = [
+        pl.BlockSpec((m, xk), lambda i: (0, 0)),
+        pl.BlockSpec((w.shape[0], block_n), lambda i: (0, i)),
+        pl.BlockSpec((scales.shape[0], block_n), lambda i: (0, i)),
+    ]
+    if norm_g is not None:
+        operands.append(norm_g.reshape(1, xk).astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((1, xk), lambda i: (0, 0)))
+    if residual is not None:
+        operands.append(residual.reshape(m, n))
+        in_specs.append(pl.BlockSpec((m, block_n), lambda i: (0, i)))
     out = pl.pallas_call(
         __import__("functools").partial(
             _qmv_kernel, bits=bits, grouped=grouped, interpret=interpret,
-            variant=variant,
+            variant=variant, norm_eps=norm_eps,
+            has_norm=norm_g is not None, swiglu=swiglu,
+            has_residual=residual is not None,
         ),
         grid=(n // block_n,),
-        in_specs=[
-            pl.BlockSpec((m, k), lambda i: (0, 0)),
-            pl.BlockSpec((w.shape[0], block_n), lambda i: (0, i)),
-            pl.BlockSpec((scales.shape[0], block_n), lambda i: (0, i)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((m, block_n), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         interpret=interpret,
-    )(x2, w, scales)
+    )(*operands)
     return out.reshape(*lead, n)

@@ -221,3 +221,100 @@ def test_pallas_qmatmul_long_k_matches():
     want4 = Q.int4_matmul(x, q4)
     got4 = Q.pallas_qmatmul(x, q4, interpret=True)
     np.testing.assert_allclose(np.asarray(got4), np.asarray(want4), atol=1e-3, rtol=1e-3)
+
+
+def test_pallas_qmatmul_fused_prologue_epilogue():
+    """The decode-glue fusion kwargs (norm prologue, swiglu pairing,
+    residual epilogue — BASELINE.md r4 decode-attribution row) must
+    match the composed unfused ops for every quant format."""
+    rs = np.random.RandomState(7)
+    k, n = 256, 128
+    g = jnp.asarray(rs.randn(k).astype(np.float32) * 0.1 + 1.0)
+    res = jnp.asarray(rs.randn(2, n).astype(np.float32))
+    for quant in (Q.quantize_weight, Q.quantize_weight_int4,
+                  Q.quantize_weight_int4_grouped):
+        q = quant(jnp.asarray(rs.randn(k, n).astype(np.float32)))
+        x = jnp.asarray(rs.randn(2, k).astype(np.float32))
+        # norm prologue
+        want = Q.pallas_qmatmul(L.rms_norm({"g": g}, x, 1e-6), q)
+        got = Q.pallas_qmatmul(x, q, norm_g=g, norm_eps=1e-6)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3, rtol=2e-3)
+        # swiglu pairing: x is the (M, 2K) gate_up pair
+        gu = jnp.asarray(rs.randn(2, 2 * k).astype(np.float32))
+        want = Q.pallas_qmatmul(L.silu(gu[:, :k]) * gu[:, k:], q)
+        got = Q.pallas_qmatmul(gu, q, swiglu=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3, rtol=2e-3)
+        # residual epilogue
+        want = Q.pallas_qmatmul(x, q) + res
+        got = Q.pallas_qmatmul(x, q, residual=res)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3, rtol=2e-3)
+        # all three together (norm + residual; swiglu is exclusive of
+        # norm in the llama block but compose anyway)
+        want = Q.pallas_qmatmul(L.rms_norm({"g": g}, x, 1e-6), q) + res
+        got = Q.pallas_qmatmul(x, q, norm_g=g, norm_eps=1e-6, residual=res)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_linear_fused_kwargs_all_paths_agree():
+    """layers.linear(norm=, swiglu=, residual=) must give the same
+    answer through the float path, the XLA quant path, and the Pallas
+    kernel path (interpret on CPU)."""
+    rs = np.random.RandomState(8)
+    k, n = 256, 128
+    w = jnp.asarray(rs.randn(k, n).astype(np.float32) * 0.05)
+    g = jnp.asarray(rs.randn(k).astype(np.float32) * 0.1 + 1.0)
+    x = jnp.asarray(rs.randn(1, 1, k).astype(np.float32))
+    res = jnp.asarray(rs.randn(1, 1, n).astype(np.float32))
+    pf = {"w": w}
+    q4 = Q.quantize_weight_int4_grouped(w)
+    ref = L.rms_norm({"g": g}, x, 1e-6) @ w + res
+    got_f = L.linear(pf, x, norm=(g, 1e-6), residual=res)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    # quant path: compare against the composed ops over the SAME
+    # quantized weights (isolates the fusion, not the quant error)
+    ref_q = L.linear(q4, L.rms_norm({"g": g}, x, 1e-6)) + res
+    got_q = L.linear(q4, x, norm=(g, 1e-6), residual=res)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
+                               atol=2e-3, rtol=2e-3)
+    # swiglu through both paths
+    gu = jnp.asarray(rs.randn(1, 1, 2 * k).astype(np.float32))
+    ref = (L.silu(gu[..., :k]) * gu[..., k:]) @ w
+    got_f = L.linear(pf, gu, swiglu=True)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    ref_q = L.linear(q4, L.silu(gu[..., :k]) * gu[..., k:])
+    got_q = L.linear(q4, gu, swiglu=True)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref_q),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_decode_forward_fused_glue_matches_unfused_reference():
+    """llama.forward decode step with fused projections + quantized
+    weights (the production decode graph, now with in-kernel norm/
+    swiglu/residual) vs the bf16 float forward on the same weights."""
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init(jax.random.key(0), cfg)
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    ids = jnp.asarray([[3, 5, 7, 2, 9, 4]])
+    cache = llama.KVCache.create(cfg, 1, 32)
+    out_f = llama.forward(params, cfg, input_ids=ids, cache=cache)
+    qparams = llama.fuse_projections(
+        Q.quantize_llama(params, bits=4)
+    )
+    out_q = llama.forward(qparams, cfg, input_ids=ids, cache=cache)
+    # same argmax trajectory is the meaningful bar at tiny dims
+    lf = np.asarray(out_f["logits"].astype(jnp.float32))
+    lq = np.asarray(out_q["logits"].astype(jnp.float32))
+    corr = np.corrcoef(lf.ravel(), lq.ravel())[0, 1]
+    assert corr > 0.98, corr
+    # decode one more token through the quantized fused path
+    step = llama.forward(
+        qparams, cfg, input_ids=ids[:, -1:].at[:].set(1),
+        cache=out_q["cache"],
+    )
+    assert np.isfinite(np.asarray(step["logits"].astype(jnp.float32))).all()
