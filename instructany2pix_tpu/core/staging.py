@@ -21,6 +21,7 @@ never need this store.
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Any, Callable, Dict, Iterator, Mapping, Optional
 
@@ -78,6 +79,11 @@ class StagedParams(Mapping):
         self._pin = set(pin)
         self._host_cache = host_cache
         self._live: Dict[str, Any] = {}
+        # materialize/evict mutate _live/_order and free device buffers;
+        # a PipelineServer scheduler thread and a main-thread pipe() on
+        # the same store must serialize or one could delete buffers the
+        # other just handed out (ADVICE r4)
+        self._lock = threading.RLock()
         self._host: Dict[str, Any] = dict(host_trees or {})
         self._bytes: Dict[str, int] = {}
         self._order: list = []  # LRU order, most-recently-used last
@@ -104,23 +110,25 @@ class StagedParams(Mapping):
         return name
 
     def __getitem__(self, name: str) -> Any:
-        name = self._resolve(name)
-        if name in self._live:
-            self._touch(name)
-            return self._live[name]
-        return self._materialize(name)
+        with self._lock:
+            name = self._resolve(name)
+            if name in self._live:
+                self._touch(name)
+                return self._live[name]
+            return self._materialize(name)
 
     def __setitem__(self, name: str, tree: Any) -> None:
         """Replace a group in place (e.g. the server sharding the LLM).
         The new tree is treated as live and budget-accounted."""
-        name = self._resolve(name)
-        if name in self._live:
-            self._order.remove(name)
-        self._live[name] = tree
-        self._bytes[name] = tree_device_bytes(tree)
-        self._host.pop(name, None)  # stale host copy
-        self._order.append(name)
-        self._shrink(exclude=name)
+        with self._lock:
+            name = self._resolve(name)
+            if name in self._live:
+                self._order.remove(name)
+            self._live[name] = tree
+            self._bytes[name] = tree_device_bytes(tree)
+            self._host.pop(name, None)  # stale host copy
+            self._order.append(name)
+            self._shrink(exclude=name)
 
     def __iter__(self) -> Iterator[str]:
         return iter(set(self._factories) | set(self._aliases) | set(self._live))
@@ -215,10 +223,23 @@ class StagedParams(Mapping):
             self[n]
 
     def evict(self, *names: str) -> None:
-        for n in names:
-            n = self._resolve(n)
-            if n in self._live:
-                self._evict(n)
+        with self._lock:
+            for n in names:
+                n = self._resolve(n)
+                if n in self._live:
+                    self._evict(n)
+
+    def pin(self, *names: str) -> None:
+        """Mark groups never-evicted from now on (eviction planning:
+        hold the diffusion-stage set hot through the edit's middle)."""
+        with self._lock:
+            self._pin.update(self._resolve(n) for n in names)
+
+    def unpin(self, *names: str) -> None:
+        with self._lock:
+            for n in names:
+                self._pin.discard(self._resolve(n))
 
     def live_groups(self) -> Dict[str, int]:
-        return {n: self._bytes[n] for n in self._order}
+        with self._lock:
+            return {n: self._bytes[n] for n in self._order}

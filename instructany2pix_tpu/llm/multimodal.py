@@ -224,8 +224,11 @@ def preview_generations(params, cfg: Any2PixLMConfig, batch: Dict[str, jax.Array
     hidden = out["hidden_norm"]
     pred_img = _predictor(params["vae_predictor_image"], hidden[:, :-1])
     mask = batch["gen_mask_image"]
-    has_gen = jnp.any(mask, axis=1)
     pos = jnp.argmax(mask, axis=1)  # first gen position per row
+    # a gen token at position 0 has no preceding hidden state to predict
+    # it — treat such rows like the no-gen case instead of pairing
+    # pred[0] (which predicts position 1) with src[0]
+    has_gen = jnp.any(mask, axis=1) & (pos > 0)
     prev = jnp.clip(pos - 1, 0, pred_img.shape[1] - 1)
     pred = jnp.take_along_axis(pred_img, prev[:, None, None], axis=1)[:, 0]
     src = jnp.take_along_axis(

@@ -129,11 +129,26 @@ def load_pipeline_params_orbax(cfg, root: str) -> Dict[str, Any]:
     per boot on this chip)."""
     from .models import unet_convert
 
-    params: Dict[str, Any] = {}
-    for name in (
+    names = (
         "llm", "prior", "unet", "vae", "text1", "text2", "refiner",
         "prior_text", "imagebind_vision", "imagebind_audio",
-    ):
+    )
+    # a partially converted root (convert_checkpoints.py --only llm)
+    # passes is_converted_root but would crash orbax with an opaque
+    # error on the first absent dir — fail with the actual gap instead
+    missing = [
+        n for n in names + ("ip_adapter",)
+        if not os.path.isdir(os.path.join(root, n))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"incomplete converted root {root!r}: missing {missing} — "
+            "re-run scripts/convert_checkpoints.py without --only, or "
+            "boot via loaders.staged_params_from_root (it skips absent "
+            "groups)"
+        )
+    params: Dict[str, Any] = {}
+    for name in names:
         params[name] = ckpt_lib.restore(os.path.join(root, name))
     ip = ckpt_lib.restore(os.path.join(root, "ip_adapter"))
     params["image_proj"] = ip["image_proj"]

@@ -166,6 +166,7 @@ def quantize_tree(
     free_originals: bool = False,
     int4_grouped: bool = True,
     int8_paths: Optional[Callable[[str], bool]] = None,
+    min_elems: int = 0,
 ):
     """Walk a param pytree, replacing matched linear subtrees
     ({"w": 2D, ...}) with their quantized form. `should_quantize`
@@ -197,7 +198,12 @@ def quantize_tree(
 
     def walk(node, path):
         if isinstance(node, dict):
-            if "w" in node and getattr(node["w"], "ndim", 0) == 2 and match(path):
+            if (
+                "w" in node
+                and getattr(node["w"], "ndim", 0) == 2
+                and node["w"].size >= min_elems
+                and match(path)
+            ):
                 q = qfn(node["w"], path)
                 if free_originals:
                     # host readback = hard completion barrier (remote
@@ -217,6 +223,39 @@ def quantize_tree(
         return node
 
     return walk(params, "")
+
+
+# Every linear param-dict name in the framework's models (UNet, CLIP
+# text/vision, GPT-2, ImageBind ViTs, prior projections, IP-Adapter) —
+# embeddings (token/position tables, sos/eos rows, wpe) deliberately
+# absent so a generic walk never quantizes a lookup table.
+_LINEAR_NAMES = re.compile(
+    r"(^|\.)("
+    r"to_(q|k|v|kv|qkv|out|k_ip|v_ip)|ff_(in|out)|ff[12]|fc[12]|"
+    r"attn_(qkv|out)|out_proj|output_proj|head_proj|text_projection|"
+    r"visual_projection|proj(_in|_out|_[a-z_0-9]+)?|time_emb|wqkv|qkv|"
+    r"lm_head|[qkvo]|gate|up|down|(up|down)_proj"
+    r")$"
+)
+
+
+def quantize_linears(params, bits: int = 8, min_elems: int = 1 << 20,
+                     free_originals: bool = False):
+    """Weight-only quantization of every *linear* in an arbitrary model
+    tree (UNet/refiner/CLIP/ImageBind/prior) — the single-chip resident
+    mode's memory lever: int8 UNet linears measured −2.7% step time vs
+    bf16 (BASELINE.md r2), and int8+int4 residency eliminates per-edit
+    weight staging entirely (VERDICT r4 item 2). Conv kernels, norms and
+    embedding tables stay bf16 (convs carry most of a VAE; tables are
+    gathers). `min_elems` skips small linears where the scale rows cost
+    more than the bytes saved."""
+    return quantize_tree(
+        params,
+        should_quantize=lambda p: bool(_LINEAR_NAMES.search(p)),
+        bits=bits,
+        min_elems=min_elems,
+        free_originals=free_originals,
+    )
 
 
 def quantize_llama(params, bits: int = 8, free_originals: bool = False,

@@ -156,6 +156,51 @@ def apply_tp_rules(params, mesh: Mesh, rules: Rules):
     return tree_util.unflatten(out)
 
 
+# ------------------------------------------- comm-volume accounting
+
+_HLO_SHAPE_RE = re.compile(r"([a-z][a-z0-9]*)\[([0-9,]*)\]")
+_HLO_COLL_RE = re.compile(
+    r"=\s*(.+?)\s+"
+    r"(all-reduce|all-gather|reduce-scatter|all-to-all|collective-permute)"
+    r"(-start)?\("
+)
+_DTYPE_BYTES = {
+    "f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
+    "bf16": 2, "f16": 2, "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1,
+    "f8e4m3fn": 1, "f8e5m2": 1,
+}
+
+
+def collective_bytes(hlo_text: str) -> dict:
+    """Count collective ops and their result bytes in compiled HLO —
+    the measured replacement for hand-estimated TP communication volume
+    (VERDICT r4 item 3: back the v5e-8 UNet projection with a counted
+    number, not an assumption). Async pairs (`-start`/`-done`) count
+    once. Usage: `compiled = jax.jit(fn).lower(*args).compile();
+    collective_bytes(compiled.as_text())`."""
+    out: dict = {}
+    for line in hlo_text.splitlines():
+        if "-done(" in line or "-done.(" in line:
+            continue
+        m = _HLO_COLL_RE.search(line)
+        if not m:
+            continue
+        shapes, op = m.group(1), m.group(2)
+        nbytes = 0
+        for dt, dims in _HLO_SHAPE_RE.findall(shapes):
+            if dt not in _DTYPE_BYTES:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            nbytes += n * _DTYPE_BYTES[dt]
+        agg = out.setdefault(op, {"count": 0, "bytes": 0})
+        agg["count"] += 1
+        agg["bytes"] += nbytes
+    return out
+
+
 def batch_spec(ndim: int) -> P:
     return P(*((DATA_AXIS,) + (None,) * (ndim - 1)))
 

@@ -318,3 +318,69 @@ def test_decode_forward_fused_glue_matches_unfused_reference():
         cache=out_q["cache"],
     )
     assert np.isfinite(np.asarray(step["logits"].astype(jnp.float32))).all()
+
+
+def test_quantize_linears_unet_resident_mode():
+    """`quantize_linears` (the single-chip resident mode's memory lever,
+    VERDICT r4 item 2) quantizes every UNet linear, leaves convs /
+    embeddings / norms alone, and the quantized UNet forward tracks the
+    float one (weight-only int8, per-output-channel scales — measured
+    −2.7% step time at full SDXL size, BASELINE.md r2)."""
+    from instructany2pix_tpu.models import unet as unet_lib
+
+    cfg = unet_lib.UNetConfig.tiny(with_ip=True)
+    params = unet_lib.init(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (1, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.key(2), (1, 9, cfg.cross_attention_dim))
+    pooled = jax.random.normal(jax.random.key(3), (1, cfg.pooled_dim))
+    tid = jnp.tile(jnp.array([[512, 512, 0, 0, 512, 512]]), (1, 1))
+
+    ref = unet_lib.apply(
+        params, x, jnp.array([500]), ctx, cfg, pooled_text=pooled, time_ids=tid
+    )
+    q = Q.quantize_linears(params, min_elems=0)
+
+    # structure: attention/ff linears quantized, convs + norms untouched
+    def count(tree, key):
+        n = 0
+        for leaf_path in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            if any(getattr(k, "key", None) == key for k in leaf_path[0]):
+                n += 1
+        return n
+
+    assert count(q, "w_q") > 0
+    blk = q["down_1"]["attn_0"]["block_0"]
+    assert "w_q" in blk["attn2"]["to_k"] and "w" not in blk["attn2"]["to_k"]
+    assert "w" in q["conv_in"] and "w_q" not in q["conv_in"]
+
+    got = unet_lib.apply(
+        q, x, jnp.array([500]), ctx, cfg, pooled_text=pooled, time_ids=tid
+    )
+    assert np.all(np.isfinite(np.asarray(got)))
+    # int8 weight error propagates through ~tiny-depth UNet; loose bound
+    err = np.abs(np.asarray(got - ref)).mean()
+    scale = np.abs(np.asarray(ref)).mean() + 1e-6
+    assert err / scale < 0.15, (err, scale)
+
+
+def test_quantize_linears_skips_embeddings_and_small():
+    from instructany2pix_tpu.models import clip as clip_lib
+
+    cfg = clip_lib.CLIPTextConfig.tiny()
+    params = clip_lib.text_init(jax.random.key(0), cfg)
+    q = Q.quantize_linears(params, min_elems=0)
+    # embedding tables keep their float "w" (looked up, never matmul'd)
+    assert "w" in q["token_embedding"] and "w_q" not in q["token_embedding"]
+    assert "w" in q["position_embedding"]
+    # attention / mlp linears quantized
+    assert "w_q" in q["layer_0"]["q"] and "w_q" in q["layer_0"]["fc1"]
+    ids = jnp.asarray([[1, 4, 9, 2] + [0] * (cfg.max_positions - 4)], jnp.int32)
+    ref = clip_lib.text_apply(params, ids, cfg)["last_hidden_state"]
+    got = clip_lib.text_apply(q, ids, cfg)["last_hidden_state"]
+    assert np.all(np.isfinite(np.asarray(got)))
+    rel = np.abs(np.asarray(got - ref)).mean() / (np.abs(np.asarray(ref)).mean() + 1e-6)
+    assert rel < 0.2, rel
+
+    # min_elems gate: everything below the floor stays float
+    q2 = Q.quantize_linears(params, min_elems=1 << 30)
+    assert "w" in q2["layer_0"]["q"] and "w_q" not in q2["layer_0"]["q"]
