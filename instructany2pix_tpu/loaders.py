@@ -177,7 +177,9 @@ def staged_params_from_root(
     def unet_with_ip():
         ip = ckpt_lib.restore(os.path.join(root, "ip_adapter"))
         unet = ckpt_lib.restore(os.path.join(root, "unet"))
-        return unet_convert.merge_ip_weights(unet, ip["ip_attn"])
+        # roots whose UNet already carries to_k_ip/to_v_ip leaves store
+        # image_proj alone
+        return unet_convert.merge_ip_weights(unet, ip.get("ip_attn") or {})
 
     def image_proj():
         return ckpt_lib.restore(os.path.join(root, "ip_adapter"))["image_proj"]

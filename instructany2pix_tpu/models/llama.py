@@ -286,12 +286,18 @@ def forward(
     positions: Optional[jax.Array] = None,
     cache: Optional[KVCache] = None,
     prefix_pad=None,
+    layers: Optional[int] = None,
 ):
     """Full or incremental forward.
 
     Without `cache`: processes the whole sequence (training / prefill
     without cache). With `cache`: appends this chunk at `cache.length`
     and returns the updated cache (prefill chunk or single decode step).
+
+    `layers` truncates the decoder to its first N layers with the SAME
+    final norm + lm_head on top — the early-exit draft model of exact
+    self-speculative decoding (llm/speculative.py). With a cache, pass
+    one sliced to N layers (`KVCache(cache.k[:N], cache.v[:N], len)`).
 
     Returns dict: logits (B,S,V), hidden (B,S,D) — final pre-norm
     hidden states like HF `output_hidden_states[-1]`... note: HF's last
@@ -346,7 +352,7 @@ def forward(
         return {"logits": logits, "hidden": hidden, "hidden_norm": hidden_norm}
 
     new_k, new_v = [], []
-    for i in range(cfg.num_layers):
+    for i in range(cfg.num_layers if layers is None else layers):
         if cache is not None:
             x, (ck, cv) = _block(
                 params[f"layer_{i}"],

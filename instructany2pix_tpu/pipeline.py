@@ -88,6 +88,14 @@ class PipelineConfig:
     imagebind_audio: imagebind_lib.ViTConfig = imagebind_lib.ViTConfig.imagebind_audio()
     image_size: int = 1024
     embed_norm: float = 20.0
+    # >0 enables exact self-speculative GREEDY decoding with an
+    # early-exit draft of that many layers (llm/speculative.py): the
+    # verify pass is M-flat on the bandwidth-bound int4 matvecs
+    # (BASELINE.md r4), so wall-clock improves whenever the draft's
+    # acceptance rate clears acceptance·k > 1 + k·L/32. Coerces the
+    # LLM to temperature 0 — output is the full model's own argmax
+    # sequence, token-identical to plain greedy decode.
+    llm_speculative_layers: int = 0
     # grounding model configs — None selects the full-size SwinT/ViT-H
     # graphs inside build_segmentator; the checkpoint-boot test passes
     # tiny-dims configs matching its synthetic gdino/sam checkpoints
@@ -301,18 +309,23 @@ class InstructAny2PixPipeline:
             e = jnp.asarray(np.asarray(item["embed"], np.float32)).reshape(1, -1)
             return e
         fpath = item["fname"]
+        from .utils.filecache import cached
+
         if item["type"] == "image":
-            img = image_io.load_image(fpath)
             c = self.cfg.imagebind_vision
             fn = self._jit(
                 "ib_vision", lambda: lambda p, x: imagebind_lib.apply(p, x, c)
             )
             x = jnp.asarray(
-                imagebind_lib.preprocess_vision(img, c.image_size or 224)
+                cached(
+                    fpath, ("ib_vis", c.image_size or 224),
+                    lambda: imagebind_lib.preprocess_vision(
+                        image_io.load_image(fpath), c.image_size or 224
+                    ),
+                )
             )
             return fn(self.params["imagebind_vision"], x)
         if item["type"] == "audio":
-            wav = _load_wav(fpath)
             c = self.cfg.imagebind_audio
             fn = self._jit(
                 "ib_audio",
@@ -320,7 +333,12 @@ class InstructAny2PixPipeline:
                     imagebind_lib.apply(p, x, c), axis=0, keepdims=True
                 ),
             )
-            clips = jnp.asarray(imagebind_lib.preprocess_audio(wav))
+            clips = jnp.asarray(
+                cached(
+                    fpath, "ib_aud",
+                    lambda: imagebind_lib.preprocess_audio(_load_wav(fpath)),
+                )
+            )
             return fn(self.params["imagebind_audio"], clips)
         raise ValueError(item["type"])
 
@@ -341,6 +359,25 @@ class InstructAny2PixPipeline:
 
         input_ids, inputs_embeds = self._prepare_llm_inputs(inst, aux_info)
         eos_id = getattr(self.tokenizer, "eos_token_id", 2)
+        if self.cfg.llm_speculative_layers > 0:
+            from .llm import speculative as spec_lib
+
+            with stage("llm_generate"):
+                result = spec_lib.generate_speculative(
+                    self.params["llm"]["llama"],
+                    self.cfg.llm.llama,
+                    inputs_embeds,
+                    max_new_tokens=100,
+                    eos_id=eos_id,
+                    draft_layers=self.cfg.llm_speculative_layers,
+                )
+            n_out = min(int(result.done_at[0]) + 1, result.tokens.shape[1])
+            out = self._postprocess_llm(
+                np.asarray(result.tokens[0, :n_out]), result.hiddens[0, :n_out],
+                input_ids, aux_info, mm_data,
+            )
+            self.cache = out
+            return out
         with stage("llm_generate"):
             result = gen_lib.generate(
                 self.params["llm"]["llama"],
@@ -546,6 +583,15 @@ class InstructAny2PixPipeline:
         return self.load_base_img(base_img_path)
 
     def load_base_img(self, base_img_path) -> np.ndarray:
+        from .utils.filecache import cached
+
+        if isinstance(base_img_path, (str, bytes)):
+            return cached(
+                base_img_path, ("base", self.cfg.image_size),
+                lambda: image_io.resize_and_crop(
+                    base_img_path, self.cfg.image_size
+                ),
+            )
         return image_io.resize_and_crop(base_img_path, self.cfg.image_size)
 
     def polar_intrtpolate(self, x, y, alpha):  # reference name preserved

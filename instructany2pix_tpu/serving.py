@@ -402,13 +402,23 @@ class PipelineServer:
                     row.append(("embed", np.asarray(item["embed"], np.float32)
                                 .reshape(1, -1)))
                 elif item["type"] == "image":
-                    img = image_io.load_image(item["fname"])
-                    vis_px.append(ib_lib.preprocess_vision(
-                        img, c.imagebind_vision.image_size or 224)[0])
+                    from .utils.filecache import cached
+
+                    sz = c.imagebind_vision.image_size or 224
+                    vis_px.append(cached(
+                        item["fname"], ("ib_vis", sz),
+                        lambda: ib_lib.preprocess_vision(
+                            image_io.load_image(item["fname"]), sz),
+                    )[0])
                     row.append(("vis", len(vis_px) - 1))
                 elif item["type"] == "audio":
-                    wav = pipeline_mod._load_wav(item["fname"])
-                    aud_clips.append(ib_lib.preprocess_audio(wav))
+                    from .utils.filecache import cached
+
+                    aud_clips.append(cached(
+                        item["fname"], "ib_aud",
+                        lambda: ib_lib.preprocess_audio(
+                            pipeline_mod._load_wav(item["fname"])),
+                    ))
                     row.append(("aud", len(aud_clips) - 1))
                 else:
                     raise ValueError(item["type"])
@@ -554,65 +564,17 @@ class PipelineServer:
 
         steps = reqs[live[0]].num_inference_steps
         vae_keys = jnp.stack([_jax.random.key(reqs[i].seed) for i in live])
-        vae_enc = self._jit(
-            "vae_enc", lambda: lambda p, x, k: vae_lib.encode(p, x, key=k, cfg=c.vae)
-        )
-        src_lat = vae_enc(pipe.params["vae"], x, vae_keys)
         ctx_null, pooled_null = pipe._encode_sdxl_prompt("")
         b = len(live)
         tid = S.default_time_ids(c.image_size, c.image_size, b)
-        latent_inv = self._jit(
-            ("invert", steps),
-            lambda: lambda p, lat, ctx, pooled, tid: S.ddim_invert(
-                p, c.unet, pipe.schedule, lat, ctx, pooled, tid,
-                num_inference_steps=steps,
-            ),
-        )(
-            pipe.params["unet"], src_lat, jnp.tile(ctx_null, (b, 1, 1)),
-            jnp.tile(pooled_null, (b, 1)), tid,
-        )
         from .core.prng import row_normal
         from .diffusion import ip_adapter as ipa_lib
         from .models import clip as clip_lib
 
         noise_keys = jnp.stack([_jax.random.key(reqs[i].seed + 1) for i in live])
 
-        def make_mix_polar_ip():
-            def fn(ip_params, lat_inv, nkeys, base, img, y, h, norm, alpha):
-                # mix_latents semantics, vectorized (reference
-                # pipeline.py:322-324): h0·base + h1·llm + h2·20·ŷ,
-                # renormalized per row
-                yn = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-9)
-                la = (
-                    h[:, 0:1] * base + h[:, 1:2] * img + h[:, 2:3] * 20.0 * yn
-                )
-                la = la / (
-                    jnp.linalg.norm(la, axis=-1, keepdims=True) + 1e-9
-                ) * norm[:, None]
-                noise = row_normal(nkeys, lat_inv.shape)
-                lat2 = jax.vmap(S.polar_interpolate)(lat_inv, noise, alpha)
-                ip_c, ip_u = ipa_lib.get_image_embeds(
-                    ip_params, c.image_proj, clip_image_embeds=la, mode="global"
-                )
-                return la, lat2, ip_c, ip_u
-
-            return fn
-
-        lat_las, latent_inv, ip_cond, ip_uncond = self._jit(
-            "mix_polar_ip", make_mix_polar_ip
-        )(
-            pipe.params["image_proj"], latent_inv, noise_keys,
-            jnp.asarray(np.stack(base_es), jnp.float32),
-            jnp.asarray(np.stack(img_es), jnp.float32),
-            y.astype(jnp.float32),
-            jnp.asarray(np.stack([reqs[i].h for i in live]), jnp.float32),
-            jnp.asarray([reqs[i].norm for i in live], jnp.float32),
-            jnp.asarray([reqs[i].alpha for i in live], jnp.float32),
-        )
-
-        # ---- denoise stage: ONE batched prompt encode, then the
-        # batched CFG scan dispatched on-device (no host round-trip)
-
+        # ---- batched prompt encode (host tokenization feeds it, so it
+        # stays outside the fused core)
         prompts = ["best quality, high quality" + llm_outs[i][2] for i in live]
         ids1 = np.concatenate([
             pipe._clip_ids(pipe.clip_tok1, pr, c.text1.max_positions,
@@ -631,47 +593,131 @@ class PipelineServer:
             pipe.params["text1"], pipe.params["text2"],
             jnp.asarray(ids1), jnp.asarray(ids2),
         )
-        # device-direct denoise: the arrays are already batched and
-        # device-resident — the former EditRequest round-trip paid a
-        # host sync per field per row (serving glue, BASELINE.md r4).
-        # TP/batch sharding handled exactly like run_batch: params from
-        # the denoiser (TP-sharded in multi-chip mode), batch padded to
-        # the data axis and sharded over it.
-        denoise_fn = self.denoiser._get_fn(
-            steps, reqs[live[0]].cfg, reqs[live[0]].scale
-        )
-        n_data = self.mesh.shape[DATA_AXIS]
-        pad = (-b) % n_data
+        h_arr = jnp.asarray(np.stack([reqs[i].h for i in live]), jnp.float32)
+        norm_arr = jnp.asarray([reqs[i].norm for i in live], jnp.float32)
+        alpha_arr = jnp.asarray([reqs[i].alpha for i in live], jnp.float32)
+        base_arr = jnp.asarray(np.stack(base_es), jnp.float32)
+        img_arr = jnp.asarray(np.stack(img_es), jnp.float32)
 
-        def pad_rows(a):
-            if pad == 0:
-                return a
-            return jnp.concatenate([a] + [a[-1:]] * pad, axis=0)
+        def mix_polar_ip_ops(ip_params, lat_inv, nkeys, base, img, y, h,
+                             norm, alpha):
+            # mix_latents semantics, vectorized (reference
+            # pipeline.py:322-324): h0·base + h1·llm + h2·20·ŷ,
+            # renormalized per row
+            yn = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-9)
+            la = h[:, 0:1] * base + h[:, 1:2] * img + h[:, 2:3] * 20.0 * yn
+            la = la / (
+                jnp.linalg.norm(la, axis=-1, keepdims=True) + 1e-9
+            ) * norm[:, None]
+            noise = row_normal(nkeys, lat_inv.shape)
+            lat2 = jax.vmap(S.polar_interpolate)(lat_inv, noise, alpha)
+            ip_c, ip_u = ipa_lib.get_image_embeds(
+                ip_params, c.image_proj, clip_image_embeds=la, mode="global"
+            )
+            return lat2, ip_c, ip_u
 
-        lat_in = pad_rows(latent_inv)
-        if self.mesh.devices.size > 1:
+        if self.mesh.devices.size == 1:
+            # ---- fused edit core (VERDICT r4 item 5): VAE encode →
+            # inversion scan → mix/polar/IP → CFG denoise scan → VAE
+            # decode in ONE dispatch per microbatch. The staged stage
+            # dispatches cost a tunnel/PCIe upload+sync boundary each;
+            # one graph also lets XLA overlap the VAE/conditioning work
+            # with the scan prologue. Single-chip path only — the TP
+            # denoise keeps its explicitly sharded dispatch below.
+            cfg_scale, ip_scale = reqs[live[0]].cfg, reqs[live[0]].scale
+
+            def make_edit_core():
+                def fn(unet_p, vae_p, ip_params, x, vkeys, nkeys, ctx_n,
+                       pooled_n, ctx_p, pooled_p, y, base, img_e, h, norm,
+                       alpha, tid):
+                    bb = x.shape[0]
+                    ctx_nb = jnp.tile(ctx_n, (bb, 1, 1))
+                    pooled_nb = jnp.tile(pooled_n, (bb, 1))
+                    src_lat = vae_lib.encode(vae_p, x, key=vkeys, cfg=c.vae)
+                    lat_inv = S.ddim_invert(
+                        unet_p, c.unet, pipe.schedule, src_lat, ctx_nb,
+                        pooled_nb, tid, num_inference_steps=steps,
+                    )
+                    lat2, ip_c, ip_u = mix_polar_ip_ops(
+                        ip_params, lat_inv, nkeys, base, img_e, y, h, norm,
+                        alpha,
+                    )
+                    lats = S.denoise(
+                        unet_p, c.unet, pipe.schedule, lat2, ctx_p, ctx_nb,
+                        pooled_p, pooled_nb, tid, num_inference_steps=steps,
+                        guidance_scale=cfg_scale, ip_tokens=ip_c,
+                        ip_tokens_uncond=ip_u, ip_scale=ip_scale,
+                    )
+                    return vae_lib.decode(vae_p, lats, c.vae)
+
+                return fn
+
+            dec = self._jit(
+                ("edit_core", steps, cfg_scale, ip_scale), make_edit_core
+            )(
+                pipe.params["unet"], pipe.params["vae"],
+                pipe.params["image_proj"], x, vae_keys, noise_keys,
+                ctx_null, pooled_null, ctx_p, pooled_p,
+                y.astype(jnp.float32), base_arr, img_arr, h_arr, norm_arr,
+                alpha_arr, tid,
+            )
+        else:
+            vae_enc = self._jit(
+                "vae_enc",
+                lambda: lambda p, x, k: vae_lib.encode(p, x, key=k, cfg=c.vae),
+            )
+            src_lat = vae_enc(pipe.params["vae"], x, vae_keys)
+            latent_inv = self._jit(
+                ("invert", steps),
+                lambda: lambda p, lat, ctx, pooled, tid: S.ddim_invert(
+                    p, c.unet, pipe.schedule, lat, ctx, pooled, tid,
+                    num_inference_steps=steps,
+                ),
+            )(
+                pipe.params["unet"], src_lat, jnp.tile(ctx_null, (b, 1, 1)),
+                jnp.tile(pooled_null, (b, 1)), tid,
+            )
+            latent_inv, ip_cond, ip_uncond = self._jit(
+                "mix_polar_ip", lambda: mix_polar_ip_ops
+            )(
+                pipe.params["image_proj"], latent_inv, noise_keys,
+                base_arr, img_arr, y.astype(jnp.float32), h_arr, norm_arr,
+                alpha_arr,
+            )
+            # device-direct denoise: TP/batch sharding handled exactly
+            # like run_batch — params from the denoiser (TP-sharded),
+            # batch padded to the data axis and sharded over it.
+            denoise_fn = self.denoiser._get_fn(
+                steps, reqs[live[0]].cfg, reqs[live[0]].scale
+            )
+            n_data = self.mesh.shape[DATA_AXIS]
+            pad = (-b) % n_data
+
+            def pad_rows(a):
+                if pad == 0:
+                    return a
+                return jnp.concatenate([a] + [a[-1:]] * pad, axis=0)
+
             lat_in = _jax.device_put(
-                lat_in,
+                pad_rows(latent_inv),
                 _jax.sharding.NamedSharding(
                     self.mesh, _jax.sharding.PartitionSpec(DATA_AXIS)
                 ),
             )
-        with _jax.set_mesh(self.mesh):
-            lats = denoise_fn(
-                self.denoiser._resolve_params(),
-                lat_in, pad_rows(ctx_p),
-                jnp.tile(ctx_null, (b + pad, 1, 1)), pad_rows(pooled_p),
-                jnp.tile(pooled_null, (b + pad, 1)),
-                S.default_time_ids(c.image_size, c.image_size, b + pad),
-                pad_rows(ip_cond), pad_rows(ip_uncond),
+            with _jax.set_mesh(self.mesh):
+                lats = denoise_fn(
+                    self.denoiser._resolve_params(),
+                    lat_in, pad_rows(ctx_p),
+                    jnp.tile(ctx_null, (b + pad, 1, 1)), pad_rows(pooled_p),
+                    jnp.tile(pooled_null, (b + pad, 1)),
+                    S.default_time_ids(c.image_size, c.image_size, b + pad),
+                    pad_rows(ip_cond), pad_rows(ip_uncond),
+                )
+            lats = lats[:b]
+            vae_dec = self._jit(
+                "vae_dec", lambda: lambda p, z: vae_lib.decode(p, z, c.vae)
             )
-        lats = lats[:b]
-
-        # ---- decode stage: one batched VAE decode
-        vae_dec = self._jit(
-            "vae_dec", lambda: lambda p, z: vae_lib.decode(p, z, c.vae)
-        )
-        dec = vae_dec(pipe.params["vae"], lats)
+            dec = vae_dec(pipe.params["vae"], lats)
 
         # ---- refiner stage (batch shares `refinement` via the bucket):
         # one batched img2img through the refiner UNet, per-row keys
@@ -711,42 +757,43 @@ class PipelineServer:
             )
             enc_keys = jnp.stack([_jax.random.key(reqs[i].seed + 2) for i in live])
             noise_keys2 = jnp.stack([_jax.random.key(reqs[i].seed + 3) for i in live])
-            # Round-trip the decoded image through uint8 before re-encoding,
-            # exactly like the single-request pipeline (pipeline.run saves
-            # `non_refined` as uint8 then to_model_range's it back) — keeps
-            # same-seed results bit-consistent between the two paths. Done
-            # on-device (same clip→truncate-to-uint8→rescale arithmetic as
-            # image_io.from_model_range/to_model_range) — the former
-            # per-row host loop cost two image transfers per request.
-            dec8 = self._jit(
-                "uint8_roundtrip",
-                # jnp.floor before the cast: numpy's astype(uint8)
-                # truncates, XLA's convert rounds — floor(clip(x,0,255))
-                # equals truncation for the non-negative range
-                lambda: lambda d: jnp.floor(
-                    jnp.clip((d.astype(jnp.float32) + 1.0) * 127.5, 0, 255)
-                ).astype(jnp.float32) / 127.5 - 1.0,
-            )(dec)
-            rlat = vae_enc(pipe.params["vae"], dec8, enc_keys)
-            rlat = self._jit(
-                ("img2img", refinement),
-                lambda: lambda p, lat, k, ctx, ctx_u, pooled, pooled_u, tid,
-                tid_u: i2i.img2img(
-                    p, c.refiner, pipe.schedule, lat, k, ctx, ctx_u, pooled,
-                    pooled_u, tid,
-                    # diffusers img2img defaults (reference pipeline.py:358):
-                    # 50-step grid regardless of the edit's step count,
-                    # guidance 5.0, negative aesthetic score 2.5 on uncond
-                    num_inference_steps=pipeline_mod.REFINER_NUM_STEPS,
-                    strength=refinement,
-                    guidance_scale=5.0,
-                    time_ids_uncond=tid_u,
-                ),
-            )(
-                pipe.params["refiner"], rlat, noise_keys2, rctx, rctx_u,
-                rpooled, rpooled_u, rtid, rtid_u,
+
+            def make_refine_core():
+                def fn(ref_p, vae_p, d, ekeys, nkeys, ctx, ctx_u, pooled,
+                       pooled_u, tid, tid_u):
+                    # Round-trip the decoded image through uint8 before
+                    # re-encoding, exactly like the single-request
+                    # pipeline (pipeline.run saves `non_refined` as uint8
+                    # then to_model_range's it back) — keeps same-seed
+                    # results bit-consistent between the two paths.
+                    # jnp.floor before the cast: numpy's astype(uint8)
+                    # truncates, XLA's convert rounds.
+                    d8 = jnp.floor(
+                        jnp.clip((d.astype(jnp.float32) + 1.0) * 127.5, 0, 255)
+                    ).astype(jnp.float32) / 127.5 - 1.0
+                    rlat = vae_lib.encode(vae_p, d8, key=ekeys, cfg=c.vae)
+                    rlat = i2i.img2img(
+                        ref_p, c.refiner, pipe.schedule, rlat, nkeys, ctx,
+                        ctx_u, pooled, pooled_u, tid,
+                        # diffusers img2img defaults (reference
+                        # pipeline.py:358): 50-step grid regardless of the
+                        # edit's step count, guidance 5.0, negative
+                        # aesthetic score 2.5 on uncond
+                        num_inference_steps=pipeline_mod.REFINER_NUM_STEPS,
+                        strength=refinement,
+                        guidance_scale=5.0,
+                        time_ids_uncond=tid_u,
+                    )
+                    return vae_lib.decode(vae_p, rlat, c.vae)
+
+                return fn
+
+            # one dispatch: uint8 round-trip + VAE encode + refiner scan
+            # + VAE decode (was 4 — serving glue, VERDICT r4 item 5)
+            dec = self._jit(("refine_core", refinement), make_refine_core)(
+                pipe.params["refiner"], pipe.params["vae"], dec, enc_keys,
+                noise_keys2, rctx, rctx_u, rpooled, rpooled_u, rtid, rtid_u,
             )
-            dec = vae_dec(pipe.params["vae"], rlat)
 
         for j, i in enumerate(live):
             results[i] = PipelineResult(

@@ -46,6 +46,14 @@ def main(argv=None, cfg=None):
     ap.add_argument("--bf16", action="store_true", help="cast floats to bf16")
     ap.add_argument("--quant-llm", choices=["int8", "int4", "int4pc"], default=None)
     ap.add_argument(
+        "--quant-stack", action="store_true",
+        help="int8 weight-only linears across the diffusion stack "
+        "(UNet/refiner/text encoders/prior/ImageBind) — with --quant-llm "
+        "int4 the whole pipeline fits one 16 GB chip resident, zero "
+        "per-edit staging (VERDICT r4 item 2; int8 UNet linears measured "
+        "-2.7%% step time, BASELINE.md r2)",
+    )
+    ap.add_argument(
         "--only", default="llm,prior,sdxl,ip,imagebind,gdino",
         help="comma list of component groups to convert",
     )
@@ -62,9 +70,20 @@ def main(argv=None, cfg=None):
     cfg = cfg or PipelineConfig()
     os.makedirs(args.out, exist_ok=True)
 
+    # groups whose linears go int8 under --quant-stack (vae is convs;
+    # image_proj is small and shape-sensitive to the 2-view contract)
+    _STACK = {
+        "unet", "refiner", "text1", "text2", "prior_text", "prior",
+        "imagebind_vision", "imagebind_audio",
+    }
+
     def emit(name, params):
         if args.bf16:
             params = _cast_bf16(params)
+        if args.quant_stack and name in _STACK:
+            from instructany2pix_tpu.ops import quant as quant_lib
+
+            params = quant_lib.quantize_linears(params)
         path = os.path.join(args.out, name)
         ckpt_lib.save(path, params)
         n = sum(x.size for x in __import__("jax").tree.leaves(params))

@@ -300,3 +300,62 @@ def test_bucket_key_separates_ip_token_shapes():
     c = _dummy()
     c.ctx = np.zeros((5, 8), np.float32)
     assert sched._bucket(_dummy()) != sched._bucket(c)
+
+
+def test_pipeline_server_single_device_fused_core():
+    """The single-chip path runs the whole diffusion block (VAE encode →
+    inversion → mix/polar/IP → denoise → VAE decode) and the refiner
+    block as ONE fused dispatch each (VERDICT r4 item 5). Same-seed
+    requests across separate microbatches must be bit-identical;
+    different seeds must differ; the media cache must not go stale when
+    a file changes."""
+    import tempfile
+
+    from PIL import Image
+
+    from instructany2pix_tpu.pipeline import InstructAny2PixPipeline
+    from instructany2pix_tpu.utils.filecache import MEDIA_CACHE
+
+    mesh1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    pipe = InstructAny2PixPipeline(tiny=True, seed=0)
+    d = tempfile.mkdtemp()
+    rs = np.random.RandomState(0)
+    path = f"{d}/img.png"
+    Image.fromarray(rs.randint(0, 255, (72, 64, 3), np.uint8)).save(path)
+    emb_dim = pipe.cfg.llm.image_codec_dim
+    server = serving.PipelineServer(pipe, mesh=mesh1, max_batch=2, max_wait_s=0.2)
+
+    def fake_llm_stage(reqs):
+        out = []
+        for r in reqs:
+            rk = np.random.RandomState(r.seed)
+            out.append((
+                serving.jnp.asarray(rk.randn(1, emb_dim).astype(np.float32)),
+                serving.jnp.asarray(rk.randn(emb_dim).astype(np.float32)),
+                "a scene", path,
+                dict(all_objs=[], extra_embeds=[], extra_idx=[]),
+            ))
+        return out
+
+    server._llm_stage = fake_llm_stage
+    mk = lambda seed: serving.PipelineRequest(  # noqa: E731
+        "edit <video>", [{"type": "image", "fname": path}],
+        num_inference_steps=2, refinement=0.5, seed=seed,
+    )
+    try:
+        a = server.submit(mk(7)).result(timeout=600)
+        hits0 = MEDIA_CACHE.hits
+        b = server.submit(mk(7)).result(timeout=600)
+        c = server.submit(mk(8)).result(timeout=600)
+        assert MEDIA_CACHE.hits > hits0  # repeat file served from cache
+        # overwrite the file -> mtime key changes -> cache must refresh
+        Image.fromarray(
+            np.random.RandomState(9).randint(0, 255, (72, 64, 3), np.uint8)
+        ).save(path)
+        d2 = server.submit(mk(7)).result(timeout=600)
+    finally:
+        server.stop()
+    assert a.image is not None and a.image.std() > 0
+    np.testing.assert_array_equal(a.image, b.image)
+    assert not np.array_equal(a.image, c.image)
+    assert not np.array_equal(a.image, d2.image)  # new file content
