@@ -45,6 +45,18 @@ import jax.numpy as jnp
 # variant for already-seen shapes — set it before the first trace.
 _QMV_GROUPED_VARIANT = os.environ.get("IA2P_QMV_GROUPED", "chain")
 
+# Weight-stream pipelining for the decode matvec: "stream" (default)
+# rotates IA2P_QMV_NBUF manually managed VMEM buffers with up to
+# nbuf-1 async copies in flight — the Mosaic grid pipeline keeps only
+# ONE copy outstanding, which under-subscribes the HBM controller
+# (measured r5, benchmarks/qmv_dma_probe.py: up-gate 4096x11008
+# 44.5→32.7 µs = 1.62x→1.19x of the packed-bytes floor; o-proj
+# 15.6→13.4; qkv 40.4→38.7; down 36.2→35.5; bit-exact). "grid" keeps
+# the r4 single-buffered grid kernel (and always serves interpret/CPU).
+_QMV_PIPE = os.environ.get("IA2P_QMV_PIPE", "stream")
+_QMV_NBUF = int(os.environ.get("IA2P_QMV_NBUF", "4"))
+_QMV_STREAM_BN = int(os.environ.get("IA2P_QMV_STREAM_BN", "256"))
+
 
 def quantize_weight(w: jax.Array) -> dict:
     """(in, out) float weights → int8 + per-out-channel scale."""
@@ -402,6 +414,96 @@ def _qmv_kernel(*refs, bits: int, grouped: bool = False,
         _store(acc * s_ref[0][None].astype(jnp.float32))
 
 
+def _qmv_stream_kernel(*refs, bits: int, grouped: bool, nbuf: int, bn: int,
+                       norm_eps: float = 0.0, has_norm: bool = False,
+                       swiglu: bool = False, has_residual: bool = False):
+    """Streaming variant of `_qmv_kernel`: grid=() with the weight in
+    ANY/HBM space and a manual nbuf-slot async-copy rotation keeping
+    nbuf-1 copies in flight (the grid pipeline's single outstanding DMA
+    leaves HBM under-subscribed — header note). The math per output
+    column is identical to the grid kernel (same group-dot order), so
+    outputs are bit-exact across the two paths; the norm/swiglu
+    prologue additionally runs ONCE instead of once per grid step."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    refs = list(refs)
+    x_ref = refs.pop(0)
+    w_hbm = refs.pop(0)
+    s_ref = refs.pop(0)
+    g_ref = refs.pop(0) if has_norm else None
+    r_ref = refs.pop(0) if has_residual else None
+    (o_ref,) = refs
+    kp, n = w_hbm.shape
+    nblk = n // bn
+
+    x = x_ref[:]
+    act_dtype = x.dtype
+    if has_norm:
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xn = xf * jax.lax.rsqrt(var + norm_eps) * g_ref[:].astype(jnp.float32)
+        x = xn.astype(act_dtype)
+    if swiglu:
+        kk = x.shape[-1] // 2
+        g_half, u_half = x[:, :kk], x[:, kk:]
+        x = (jax.nn.silu(g_half.astype(jnp.float32)).astype(act_dtype)
+             * u_half)
+    if bits == 4 and x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+
+    def body(scratch, sems):
+        def copy(i, slot):
+            return pltpu.make_async_copy(
+                w_hbm.at[:, pl.ds(i * bn, bn)], scratch.at[slot],
+                sems.at[slot],
+            )
+
+        for w in range(min(nbuf - 1, nblk)):
+            copy(w, w).start()
+
+        def loop(i, _):
+            slot = jax.lax.rem(i, nbuf)
+
+            @pl.when(i + nbuf - 1 < nblk)
+            def _():
+                copy(i + nbuf - 1, jax.lax.rem(i + nbuf - 1, nbuf)).start()
+
+            copy(i, slot).wait()
+            w = scratch[slot]
+            if bits == 4:
+                w = pltpu.bitcast(w, jnp.int4)  # (K, bn), original order
+            wd = w.astype(x.dtype)
+            sblk = s_ref[:, pl.ds(i * bn, bn)]  # (G, bn) or (1, bn)
+            if grouped:
+                g_count = s_ref.shape[0]
+                group = wd.shape[0] // g_count
+                acc = jnp.zeros((x.shape[0], bn), jnp.float32)
+                for g in range(g_count):
+                    part = jnp.dot(
+                        x[:, g * group:(g + 1) * group],
+                        wd[g * group:(g + 1) * group],
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = acc + part * sblk[g][None]
+            else:
+                acc = jnp.dot(x, wd, preferred_element_type=jnp.float32)
+                acc = acc * sblk[0][None].astype(jnp.float32)
+            y = acc.astype(o_ref.dtype)
+            if has_residual:
+                y = y + r_ref[:, pl.ds(i * bn, bn)].astype(o_ref.dtype)
+            o_ref[:, pl.ds(i * bn, bn)] = y
+            return _
+
+        jax.lax.fori_loop(0, nblk, loop, None)
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((nbuf, kp, bn), jnp.int8),
+        sems=pltpu.SemaphoreType.DMA((nbuf,)),
+    )
+
+
 def pallas_qmatmul(
     x: jax.Array, q: dict, block_n: int = 1024, interpret: Optional[bool] = None,
     norm_g: Optional[jax.Array] = None, norm_eps: float = 1e-6,
@@ -477,6 +579,55 @@ def pallas_qmatmul(
         # scale as (1, N): 1-D operands hit XLA/Mosaic tiling-layout
         # mismatches (T(1024) vs T(bn))
         scales = q["scale"].reshape(1, -1).astype(jnp.float32)
+
+    # -------- streaming multi-buffer path (default on hardware): up to
+    # nbuf-1 weight-block copies in flight instead of the grid
+    # pipeline's one — measured −2..−27 % per 7B matvec (header note).
+    # Narrower blocks win here (more outstanding copies); VMEM holds
+    # nbuf packed blocks + scales + x + out.
+    if (
+        not interpret
+        and _QMV_PIPE == "stream"
+        and (not grouped or _QMV_GROUPED_VARIANT == "chain")
+    ):
+        # narrow outputs stream best with narrower blocks (more copies
+        # in flight over the same bytes): o/down at 7B (N=4096) measured
+        # 13.9→12.8 / 36.1→34.9 µs at bn 256→128 (r5 sweep); wide
+        # outputs (qkv 12288 / gate_up 22016) stay at the default.
+        nbuf, bn = _QMV_NBUF, (128 if n <= 4096 else _QMV_STREAM_BN)
+        while bn > 64 and n % bn:
+            bn //= 2
+        kp = w.shape[0]
+        while bn > 128 and nbuf * kp * bn > 6e6:
+            bn //= 2
+        while nbuf > 2 and nbuf * kp * bn > 6e6:
+            nbuf -= 1
+        if bn >= 128 and n % bn == 0:
+            operands = [x2, w, scales]
+            in_specs = [
+                pl.BlockSpec((m, xk), lambda: (0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((scales.shape[0], n), lambda: (0, 0)),
+            ]
+            if norm_g is not None:
+                operands.append(norm_g.reshape(1, xk).astype(jnp.float32))
+                in_specs.append(pl.BlockSpec((1, xk), lambda: (0, 0)))
+            if residual is not None:
+                operands.append(residual.reshape(m, n))
+                in_specs.append(pl.BlockSpec((m, n), lambda: (0, 0)))
+            out = pl.pallas_call(
+                __import__("functools").partial(
+                    _qmv_stream_kernel, bits=bits, grouped=grouped,
+                    nbuf=nbuf, bn=bn, norm_eps=norm_eps,
+                    has_norm=norm_g is not None, swiglu=swiglu,
+                    has_residual=residual is not None,
+                ),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((m, n), lambda: (0, 0)),
+                out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+            )(*operands)
+            return out.reshape(*lead, n)
+
     operands = [x2, w, scales]
     in_specs = [
         pl.BlockSpec((m, xk), lambda i: (0, 0)),
