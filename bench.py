@@ -685,8 +685,11 @@ def main():
         img_out = image_io.from_model_range(
             np.asarray(vae_dec(vae_p, rlat)[0].astype(jnp.float32))
         )
+        # key(24) matches the rlat the pin scores — the timing reps above
+        # run key(25), and re-executing with that key made this check
+        # compare two DIFFERENT noise draws (always-false determinism)
         rlat2 = refiner_fn(
-            ref_p, lat_out, jax.random.key(25), rctx, rctx_n, rpooled,
+            ref_p, lat_out, jax.random.key(24), rctx, rctx_n, rpooled,
             rpooled_n, rtid,
         )
         img_out2 = image_io.from_model_range(
