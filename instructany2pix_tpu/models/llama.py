@@ -249,7 +249,7 @@ def _block(p, x, positions, cfg, mask, cache_kv=None, cache_len=None,
     else:
         o = dot_product_attention(q, k, v, mask=mask, causal=True)
         new_kv = (k, v)
-    x = x + L.linear(p["o"], o.reshape(b, s, cfg.num_heads * hd))
+    x = L.linear(p["o"], o.reshape(b, s, cfg.num_heads * hd), residual=x)
     post_norm = (p["post_norm"]["g"], cfg.rms_eps)
     if "gate_up" in p:
         gu = L.linear(p["gate_up"], x, norm=post_norm)
