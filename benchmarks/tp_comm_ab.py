@@ -55,9 +55,14 @@ def ufn(p, lat, t, ctx, pooled, tid, ip):
     )
 
 
-def run(tag, params, rules):
+def run(tag, params, rules, constrain=False):
     sh_params = sh.apply_tp_rules(params, tp_mesh, rules)
-    with jax.set_mesh(tp_mesh):
+    ctx = (
+        sh.tp_activation_constraints(tp_mesh)
+        if constrain
+        else __import__("contextlib").nullcontext()
+    )
+    with ctx, jax.set_mesh(tp_mesh):
         bsh = jsh.NamedSharding(tp_mesh, sh.batch_spec(4))
         args = (
             jax.device_put(lat, bsh), t,
@@ -90,6 +95,14 @@ ATTN_FF_ONLY = [r for r in sh.UNET_TP_RULES if "conv" not in r[0]]
 _, got_b = run("attn+ff-only", uparams, ATTN_FF_ONLY)
 diff_b = np.abs(got_b - ref_out).max() / (np.abs(ref_out).max() + 1e-9)
 print("attn+ff-only rel diff", diff_b)
+
+# C arm: full rules + split_geglu params + Megatron activation pinning
+# (sharding.tp_activation_constraints) — the "explicit in-block sharding
+# constraints" lever named by the r5 ruleset A/B row
+sparams = unet_lib.split_geglu(uparams)
+compiled_c, got_c = run("constrained", sparams, sh.UNET_TP_RULES, constrain=True)
+diff_c = np.abs(got_c - ref_out).max() / (np.abs(ref_out).max() + 1e-9)
+print("constrained rel diff", diff_c)
 
 # dump collective-permute shapes histogram
 if "--dump" in sys.argv:

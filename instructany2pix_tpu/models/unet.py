@@ -30,8 +30,10 @@ from typing import Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
+from ..core.mesh import DATA_AXIS, MODEL_AXIS
 from ..core.prng import KeyChain
 from ..ops.attention import dot_product_attention
+from ..parallel import sharding as psh
 from . import layers as L
 
 
@@ -186,7 +188,12 @@ def _attn(p, x, ctx, heads, ip_tokens=None, ip_scale=1.0, taps=None, tap_key=Non
         q = L.linear(p["to_q"], x).reshape(b, s, heads, hd)
         k = L.linear(p["to_k"], ctx).reshape(b, -1, heads, hd)
         v = L.linear(p["to_v"], ctx).reshape(b, -1, heads, hd)
+    q = psh.constrain(q, DATA_AXIS, None, MODEL_AXIS, None)
+    k = psh.constrain(k, DATA_AXIS, None, MODEL_AXIS, None)
+    v = psh.constrain(v, DATA_AXIS, None, MODEL_AXIS, None)
     o = dot_product_attention(q, k, v).reshape(b, s, d)
+    # head-sharded contiguous output feeds the row-parallel to_out
+    o = psh.constrain(o, DATA_AXIS, None, MODEL_AXIS)
     if kv_pre is not None and "k_ip" in kv_pre:
         k_ip, v_ip = kv_pre["k_ip"], kv_pre["v_ip"]
         if taps is not None:
@@ -256,13 +263,25 @@ def _tblock(p, x, ctx, heads, ip_tokens, ip_scale, taps=None, tap_key=None,
         x = x + L.linear(p["attn1"]["to_out"], o)
     else:
         x = x + _attn(p["attn1"], h, h, heads)
+    # pin the residual stream replicated-over-model between sublayers:
+    # left to propagation, GSPMD shards it over heads and re-lays it
+    # per sublayer with collective-permutes (BASELINE.md r5 comm A/B)
+    x = psh.constrain(x, DATA_AXIS, None, None)
     h = L.layer_norm(p["norm2"], x)
     x = x + _attn(p["attn2"], h, ctx, heads, ip_tokens, ip_scale, taps, tap_key,
                   kv_pre=kv_pre)
+    x = psh.constrain(x, DATA_AXIS, None, None)
     h = L.layer_norm(p["norm3"], x)
-    h = L.linear(p["ff_in"], h)
-    a, g = jnp.split(h, 2, axis=-1)
+    if "ff_in_a" in p:
+        # split_geglu halves: each column-parallel on its own, so the
+        # gelu gate multiplies two identically-sharded tensors
+        a = psh.constrain(L.linear(p["ff_in_a"], h), DATA_AXIS, None, MODEL_AXIS)
+        g = psh.constrain(L.linear(p["ff_in_g"], h), DATA_AXIS, None, MODEL_AXIS)
+    else:
+        h = L.linear(p["ff_in"], h)
+        a, g = jnp.split(h, 2, axis=-1)
     x = x + L.linear(p["ff_out"], a * L.gelu(g))
+    x = psh.constrain(x, DATA_AXIS, None, None)
     return x
 
 
@@ -401,6 +420,38 @@ def fuse_qkv(params):
                     out[k] = fuse_self(v)  # self-attention: q,k,v share input
                 elif k == "attn2" and isinstance(v, dict) and "to_q" in v:
                     out[k] = fuse_cross(v)  # cross-attention: k,v share ctx
+                else:
+                    out[k] = walk(v)
+            return out
+        return node
+
+    return walk(params)
+
+
+def split_geglu(params):
+    """TP-time transform: split every transformer-block geglu `ff_in`
+    (d, 8d) into `ff_in_a`/`ff_in_g` (d, 4d) halves — exactly the two
+    operands of `a * gelu(g)` (diffusers GEGLU keeps them concatenated,
+    value half first). Semantics-preserving on any backend; under
+    UNET_TP_RULES it makes each half independently column-parallel so
+    the midpoint split never lands inside a shard (see the rules
+    comment in parallel/sharding.py). Apply AFTER checkpoint load,
+    before sharding/jit."""
+
+    def split(ff):
+        half = ff["w"].shape[1] // 2
+        a = {"w": ff["w"][:, :half]}
+        g = {"w": ff["w"][:, half:]}
+        if "b" in ff:
+            a["b"], g["b"] = ff["b"][:half], ff["b"][half:]
+        return a, g
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "ff_in" and isinstance(v, dict) and "w" in v:
+                    out["ff_in_a"], out["ff_in_g"] = split(v)
                 else:
                     out[k] = walk(v)
             return out

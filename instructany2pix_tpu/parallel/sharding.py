@@ -18,8 +18,9 @@ Activations shard batch over "data" via `batch_spec`.
 
 from __future__ import annotations
 
+import contextlib
 import re
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -109,7 +110,12 @@ UNET_TP_RULES: Rules = [
     # attention projections: heads on the output dim
     (r".*\.attn\d?\.to_(q|k|v|k_ip|v_ip)\.w$", P(None, MODEL_AXIS)),
     (r".*\.attn\d?\.to_out\.w$", P(MODEL_AXIS, None)),
-    (r".*\.(ff_in|fc1)\.w$", P(None, MODEL_AXIS)),
+    # ff_in_a/ff_in_g are the split_geglu halves (models/unet.py): each
+    # is independently column-parallel, so the geglu midpoint split
+    # never crosses a shard boundary (the fused ff_in's contiguous
+    # 8d-output shard puts half `a` on devices 0..n/2 and half `g` on
+    # the rest — GSPMD repairs that with collective-permutes per block)
+    (r".*\.(ff_in|ff_in_a|ff_in_g|fc1)\.w$", P(None, MODEL_AXIS)),
     (r".*\.(ff_out|fc2)\.w$", P(MODEL_AXIS, None)),
     # convs: shard output channels
     (r".*conv\d?\.w$", P(None, None, None, MODEL_AXIS)),
@@ -154,6 +160,55 @@ def apply_tp_rules(params, mesh: Mesh, rules: Rules):
         spec = spec if ok else P()
         out[path] = jax.device_put(leaf, NamedSharding(mesh, spec))
     return tree_util.unflatten(out)
+
+
+# ---------------------------------------- activation TP constraints
+
+# When set (via tp_activation_constraints), model code pins its
+# activation layouts with with_sharding_constraint instead of leaving
+# GSPMD's propagation free to shard the residual stream over heads —
+# which it does for the UNet transformer stacks, re-laying activations
+# between hidden-sharded and head-sharded layouts with ~160
+# collective-permutes per CFG step (BASELINE.md r5 "ruleset comm A/B").
+# The pinned layout is plain Megatron: the residual stream replicated
+# over "model" / batch over "data"; only the column-parallel
+# intermediates (head dim, geglu hidden) carry a "model" shard.
+_ACT_MESH: Optional[Mesh] = None
+
+
+@contextlib.contextmanager
+def tp_activation_constraints(mesh: Mesh):
+    """Enable Megatron-layout activation pinning inside model code for
+    traces performed under this context. The context must be active
+    while the function is TRACED (jit .lower() or first call), not when
+    it executes."""
+    global _ACT_MESH
+    prev = _ACT_MESH
+    _ACT_MESH = mesh
+    try:
+        yield
+    finally:
+        _ACT_MESH = prev
+
+
+def constrain(x, *axes):
+    """`with_sharding_constraint` that is a no-op outside a
+    tp_activation_constraints context — model code calls it
+    unconditionally. Axes that don't divide the dim fall back to None
+    (same guard as apply_tp_rules)."""
+    if _ACT_MESH is None:
+        return x
+    fixed = []
+    for dim, ax in zip(x.shape, axes):
+        if ax is not None:
+            size = int(np.prod([_ACT_MESH.shape[a] for a in (
+                ax if isinstance(ax, tuple) else (ax,))]))
+            if dim % size != 0:
+                ax = None
+        fixed.append(ax)
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_ACT_MESH, P(*fixed))
+    )
 
 
 # ------------------------------------------- comm-volume accounting

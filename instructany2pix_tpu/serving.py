@@ -17,6 +17,7 @@ module adds the production path SURVEY.md §7 step 7 calls for:
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import queue
 import threading
@@ -156,6 +157,11 @@ class BatchedDenoiser:
         self.mesh = mesh or make_mesh(n_model=1)
         self.schedule = schedule or Schedule.create(SchedulerConfig())
         self._provider = params_provider
+        self._tp = (
+            params_provider is None
+            and shard_model
+            and self.mesh.devices.size > 1
+        )
         if params_provider is not None:
             assert self.mesh.devices.size == 1, (
                 "staged params are a single-chip deployment; multi-chip "
@@ -163,7 +169,13 @@ class BatchedDenoiser:
             )
             self.params = None
         elif shard_model and self.mesh.devices.size > 1:
-            self.params = sh.apply_tp_rules(unet_params, self.mesh, sh.UNET_TP_RULES)
+            # split_geglu + Megatron activation pinning: without them
+            # GSPMD re-lays the residual stream between head-sharded and
+            # hidden-sharded layouts every block (~160 collective-permutes
+            # per CFG step at SDXL width — benchmarks/tp_comm_ab.py)
+            self.params = sh.apply_tp_rules(
+                unet_lib.split_geglu(unet_params), self.mesh, sh.UNET_TP_RULES
+            )
         else:
             self.params = unet_params
         self._jitted: Dict[Any, Callable] = {}
@@ -216,7 +228,14 @@ class BatchedDenoiser:
         lat = jax.device_put(lat, batch_sharding)
         fn = self._get_fn(reqs[0].num_inference_steps, reqs[0].guidance_scale,
                           reqs[0].ip_scale)
-        with jax.set_mesh(self.mesh):
+        # the constraint context matters only while fn is TRACED (first
+        # call per bucket); re-entering it on later calls is free
+        act_ctx = (
+            sh.tp_activation_constraints(self.mesh)
+            if self._tp
+            else contextlib.nullcontext()
+        )
+        with act_ctx, jax.set_mesh(self.mesh):
             out = fn(
                 self._resolve_params(), lat, ctx, ctx_u, pooled, pooled_u,
                 tid, ip, ip_u,

@@ -321,3 +321,29 @@ def test_precomputed_cross_kv_is_exact(rng):
     ckv3 = unet_lib.precompute_cross_kv(fused, cfg, ctx, ip)
     c = unet_lib.apply(fused, lat, t, ctx, cfg, ip_tokens=ip, cross_kv=ckv3, **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-5, rtol=1e-4)
+
+
+def test_split_geglu_preserves_outputs(rng):
+    """split_geglu (TP-time geglu unfuse, models/unet.py) is bit-exact:
+    the two half-matmuls read the same weight columns the fused matmul
+    does, and the gelu gate sees identical operands."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instructany2pix_tpu.models import unet as unet_lib
+
+    cfg = unet_lib.UNetConfig.tiny(with_ip=True)
+    params = unet_lib.init(rng, cfg)
+    split = unet_lib.split_geglu(params)
+    flat_keys = str(jax.tree_util.tree_structure(split))
+    assert "ff_in_a" in flat_keys and "'ff_in'" not in flat_keys
+    lat = jax.random.normal(jax.random.key(1), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(2), (2, 7, cfg.cross_attention_dim))
+    pooled = jax.random.normal(jax.random.key(3), (2, cfg.pooled_dim))
+    tid = jnp.ones((2, 6))
+    ip = jax.random.normal(jax.random.key(4), (2, 4, cfg.cross_attention_dim))
+    kw = dict(pooled_text=pooled, time_ids=tid, ip_tokens=ip, ip_scale=0.7)
+    a = unet_lib.apply(params, lat, jnp.zeros((2,), jnp.int32), ctx, cfg, **kw)
+    b = unet_lib.apply(split, lat, jnp.zeros((2,), jnp.int32), ctx, cfg, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

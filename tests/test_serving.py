@@ -359,3 +359,24 @@ def test_pipeline_server_single_device_fused_core():
     np.testing.assert_array_equal(a.image, b.image)
     assert not np.array_equal(a.image, c.image)
     assert not np.array_equal(a.image, d2.image)  # new file content
+
+
+def test_tp_denoiser_constrained_matches_unsharded(rng, mesh8):
+    """The TP path (split_geglu params + Megatron activation pinning,
+    serving.BatchedDenoiser shard_model=True) must match the unsharded
+    single-device denoise — sharding is layout, not semantics."""
+    cfg = unet_lib.UNetConfig.tiny(with_ip=True)
+    params = unet_lib.init(rng, cfg)
+    reqs = [_req(cfg, seed=i) for i in range(4)]
+
+    den_tp = serving.BatchedDenoiser(params, cfg, mesh=mesh8)
+    assert den_tp._tp
+    outs_tp = den_tp.run_batch(reqs)
+
+    mesh1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    den_1 = serving.BatchedDenoiser(params, cfg, mesh=mesh1)
+    assert not den_1._tp
+    outs_1 = den_1.run_batch(reqs)
+
+    for a, b in zip(outs_tp, outs_1):
+        np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
